@@ -1,0 +1,82 @@
+"""Text column expressions (all native Spark SQL — JVM-side codegen).
+
+These are the shared primitives the KG stages and the training-data
+operators build on. Every expression here has an exact ANSI-SQL
+equivalent (used by the DuckDB oracles), so correctness is checkable
+engine-vs-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens_expr(col: str | Column) -> Column:
+    """Lowercased alphanumeric tokens of a text column (array<string>).
+
+    SQL equivalent: regexp_extract_all(lower(col), '[a-z0-9]+').
+    """
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(TOKEN_RE), 0)
+
+
+def normalize_text_expr(col: str | Column) -> Column:
+    """Metric normalization: lowercase, remove [^\\w\\s], strip.
+
+    Mirrors the reference's normalize_text
+    (/root/reference/tests/test_modules/metrics.py:28-31) exactly.
+    """
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"[^\w\s]", ""))
+
+
+def word_shingles_expr(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined) as array<string>.
+
+    Empty array when the document has fewer than n tokens. Computed
+    entirely with higher-order functions — no UDF, no shuffle.
+    """
+    toks = tokens_expr(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_shingles_expr(col: str | Column, k: int = 8) -> Column:
+    """Character k-gram shingles of lower(col) as array<string>."""
+    low = F.lower(_c(col))
+    return F.when(
+        F.length(low) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(low) - F.lit(k - 1)),
+            lambda i: low.substr(i, F.lit(k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigrams_expr(col: str | Column) -> Column:
+    """Adjacent token pairs as array<struct<subj,obj>> — the mention
+    co-occurrence triple source. No shuffle: pure array transform.
+    """
+    toks = tokens_expr(col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("subj"),
+                F.element_at(toks, i + F.lit(1)).alias("obj"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<subj:string,obj:string>>")
+    )

@@ -1,0 +1,81 @@
+"""Canonicalization: merge coreferent mentions into stable surrogate IDs.
+
+The reference has no canonicalization beyond its exact/alias preference
+order; the north_rule mandates one for the rebuild: a normalize-key
+reduce with *skew salting* for hub entities (a handful of entities —
+"LeBron James", "AI" — dominate mention counts, which at 100 TB means
+one straggler reducer unless the key is salted).
+
+Pattern: two-phase aggregation. Phase 1 groups by (key, salt) where
+salt = pmod(xxhash64(doc_id), S) — S-way fan-out of every hot key —
+computing partial aggregates; phase 2 merges the S partials per key.
+Commutative+associative aggregates only (counts, sums, min, set-unions
+capped), so the result is identical to a single-phase groupBy. AQE's
+skew handling complements this but cannot split a single hot *key*;
+salting can.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_key_expr(col: str | Column) -> Column:
+    """Normalization that merges coreferent surface forms:
+    lowercase → strip non-word/space chars → collapse whitespace to a
+    single space → trim. (Same normalizer family as the reference's
+    metric normalization, metrics.py:28-31, plus space-collapsing.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^\w\s]", ""), r"\s+", " "
+        )
+    )
+
+
+def surrogate_id_expr(key: Column, prefix: str = "E") -> Column:
+    """Stable surrogate node id from the canonical key (md5-based so it
+    is reproducible across engines and runs)."""
+    return F.concat(F.lit(prefix), F.substring(F.md5(key), 1, 16))
+
+
+def salted_mention_counts(
+    mentions: DataFrame,
+    label_col: str = "label",
+    salt_col_source: str = "doc_id",
+    num_salts: int = 16,
+) -> DataFrame:
+    """mentions(label, doc_id, …) → (canonical_key, node_id,
+    n_mentions, n_docs, aliases) via salted two-phase reduce.
+
+    n_docs uses per-salt distinct doc sets merged at phase 2 — exact
+    because the salt is derived from doc_id, so a doc never spans two
+    salt buckets of the same key.
+    """
+    keyed = mentions.select(
+        canonical_key_expr(label_col).alias("canonical_key"),
+        F.col(label_col).alias("_surface"),
+        F.col(salt_col_source).alias("_doc"),
+    ).where(F.col("canonical_key") != "")
+    salted = keyed.withColumn(
+        "_salt", F.pmod(F.xxhash64("_doc"), F.lit(num_salts))
+    )
+    partial = salted.groupBy("canonical_key", "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.countDistinct("_doc").alias("_docs"),
+        F.collect_set("_surface").alias("_surfaces"),
+    )
+    merged = partial.groupBy("canonical_key").agg(
+        F.sum("_cnt").alias("n_mentions"),
+        F.sum("_docs").alias("n_docs"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_surfaces"))))
+        .alias("aliases"),
+    )
+    return merged.select(
+        "canonical_key",
+        surrogate_id_expr(F.col("canonical_key")).alias("node_id"),
+        "n_mentions",
+        "n_docs",
+        "aliases",
+    )

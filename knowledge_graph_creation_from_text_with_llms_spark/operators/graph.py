@@ -1,0 +1,125 @@
+"""Graph materialization: linked triples → nodes / edges / adjacency.
+
+URI minting reproduces GraphManager.add_triple exactly
+(/root/reference/src/core/Integrator/GraphManager.py:48-55):
+  - id startswith 'Q'  → http://www.wikidata.org/entity/{id}
+  - else               → http://example.org/entity/{percent-encoded id}
+  - pred startswith 'P'→ http://www.wikidata.org/prop/direct/{id}
+  - else               → http://example.org/property/{lower, ' '→'_',
+                          percent-encoded}
+  - is_literal objects keep their surface form (no URI).
+
+Edge set semantics: rdflib.Graph is a set, so identical triples
+collapse — dropDuplicates on (src, pred, dst, is_literal) with an
+explicit weight column preserving the pre-dedup multiplicity.
+
+Scale notes: edges are repartitioned by src hash before the write so
+downstream adjacency grouping and point lookups are co-located;
+adjacency arrays are sorted for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WD = "http://www.wikidata.org/entity/"
+WDT = "http://www.wikidata.org/prop/direct/"
+EX_ENT = "http://example.org/entity/"
+EX_PROP = "http://example.org/property/"
+
+
+def entity_uri_expr(id_col: Column) -> Column:
+    return F.when(
+        id_col.startswith("Q"), F.concat(F.lit(WD), id_col)
+    ).otherwise(F.concat(F.lit(EX_ENT), F.url_encode(id_col)))
+
+
+def property_uri_expr(id_col: Column) -> Column:
+    return F.when(
+        id_col.startswith("P"), F.concat(F.lit(WDT), id_col)
+    ).otherwise(
+        F.concat(
+            F.lit(EX_PROP),
+            F.url_encode(F.regexp_replace(F.lower(id_col), " ", "_")),
+        )
+    )
+
+
+def extract_id_expr(uri: Column) -> Column:
+    """Inverse: [QP]\\d+ tail of a URI, else last path segment with
+    '_'→' ' (GraphManager.py:123-136)."""
+    qp = F.regexp_extract(uri, r"([QP]\d+)$", 1)
+    last = F.regexp_replace(F.element_at(F.split(uri, "/"), -1), "_", " ")
+    return F.when(qp != "", qp).otherwise(last)
+
+
+def build_edges(triples_linked: DataFrame) -> DataFrame:
+    """triples_linked → edges with URIs, set-dedup, and weight.
+    Falls back to surface forms when ids are NULL
+    (`subject_id or subject`, Integrator.py:145-150)."""
+    resolved = triples_linked.select(
+        F.coalesce("subj_id", "subj").alias("src_id"),
+        F.coalesce("pred_id", "pred").alias("pred_id"),
+        F.coalesce("obj_id", "obj").alias("dst_id"),
+        F.col("is_literal"),
+    )
+    deduped = resolved.groupBy("src_id", "pred_id", "dst_id", "is_literal").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    return deduped.select(
+        "src_id",
+        "pred_id",
+        "dst_id",
+        "is_literal",
+        entity_uri_expr(F.col("src_id")).alias("src_uri"),
+        property_uri_expr(F.col("pred_id")).alias("pred_uri"),
+        F.when(F.col("is_literal"), F.col("dst_id"))
+        .otherwise(entity_uri_expr(F.col("dst_id")))
+        .alias("dst_uri"),
+        "weight",
+    )
+
+
+def build_adjacency(edges: DataFrame) -> DataFrame:
+    """edges → adjacency list per source node, deterministic order."""
+    return (
+        edges.repartition(F.col("src_id"))
+        .groupBy(F.col("src_id").alias("node_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pred_id", "dst_id"))
+            ).alias("out"),
+            F.count(F.lit(1)).cast("int").alias("out_degree"),
+        )
+    )
+
+
+def graph_statistics(edges: DataFrame, approx: bool = False) -> DataFrame:
+    """GraphManager.get_statistics (GraphManager.py:57-69): total
+    triples + distinct subjects/predicates/objects. approx=True swaps
+    exact countDistinct for HLL approx_count_distinct (the 100 TB
+    variant — one pass, no giant distinct shuffles)."""
+    cd = F.approx_count_distinct if approx else F.countDistinct
+    return edges.agg(
+        F.sum("weight").alias("total_raw_triples"),
+        F.count(F.lit(1)).alias("total_triples"),
+        cd("src_id").alias("unique_subjects"),
+        cd("pred_id").alias("unique_predicates"),
+        cd("dst_id").alias("unique_objects"),
+    )
+
+
+def to_turtle_lines(edges: DataFrame) -> DataFrame:
+    """N-Triples-ish text lines for TTL-parity artifacts (small graphs
+    only — a driver-side nicety, not a scale path)."""
+    obj = F.when(
+        F.col("is_literal"),
+        F.concat(F.lit('"'), F.regexp_replace("dst_uri", '"', '\\\\"'), F.lit('"')),
+    ).otherwise(F.concat(F.lit("<"), F.col("dst_uri"), F.lit(">")))
+    return edges.select(
+        F.concat(
+            F.lit("<"), F.col("src_uri"), F.lit("> <"), F.col("pred_uri"),
+            F.lit("> "), obj, F.lit(" ."),
+        ).alias("line")
+    ).orderBy("line")

@@ -1,0 +1,180 @@
+"""Entity/property linking: surface forms → ontology IDs.
+
+The reference resolves each surface form via per-row Wikidata API calls
+with an in-memory memo cache (/root/reference/src/core/Integrator/
+Matcher.py:44-172). The Spark-native design replaces that with:
+
+  distinct surface forms  →  broadcast join against an alias dictionary
+  (preference: exact label [rank 0] > alias [rank 1], ties broken by
+  smallest id — mirroring Matcher.py:75-92's exact-label-first scan)
+  →  re-join results onto the fact rows.
+
+`distinct()` before the join reproduces the reference's lookup-once-
+per-label cache semantics while keeping the expensive path off the
+fact table. The dictionary side is always broadcast (it is the small
+side by construction); the fact side never shuffles for the lookup.
+
+Property linking supports the reference's three methods
+(Matcher.py:100-172): "exact" (the offline stand-in for its API path),
+"cos_similarity" (top-k cosine against label/alias embeddings,
+Matcher.py:174-256), and "mixed" (exact first, cosine fallback for the
+unmatched remainder — anti-join then union, Matcher.py:149-166).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_expr
+
+
+def best_match_per_label(
+    labels: DataFrame,
+    dictionary: DataFrame,
+    label_col: str,
+    id_col: str,
+) -> DataFrame:
+    """labels(label_col) × dictionary(alias, rank, id_col) →
+    (label_col, id_col) picking the best candidate per label by
+    (rank asc, id asc). Case-insensitive trimmed equality, like the
+    reference's .lower() comparisons (Matcher.py:75-87)."""
+    d = dictionary.select(
+        F.lower(F.trim(F.col("alias"))).alias("_k"),
+        F.col("rank").alias("_rank"),
+        F.col(id_col),
+    )
+    joined = labels.join(
+        F.broadcast(d),
+        F.lower(F.trim(F.col(label_col))) == F.col("_k"),
+        "left",
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("_rank").asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(label_col, id_col)
+    )
+
+
+def link_labels(
+    facts: DataFrame,
+    dictionary: DataFrame,
+    label_col: str,
+    out_col: str,
+    id_col: str = "entity_id",
+) -> DataFrame:
+    """Attach out_col = linked id (or NULL) to every fact row.
+
+    distinct-labels-first: the ranked window runs on |distinct labels|
+    rows, not |facts| — the cache semantics of Matcher.py:55-56 made
+    shuffle-shaped. The result (small) is broadcast back onto facts.
+    """
+    distinct_labels = facts.select(F.col(label_col)).distinct()
+    resolved = best_match_per_label(distinct_labels, dictionary, label_col, id_col)
+    return facts.join(
+        F.broadcast(resolved.withColumnRenamed(id_col, out_col)),
+        on=label_col,
+        how="left",
+    )
+
+
+def topk_properties(
+    predicates: DataFrame,
+    property_dict: DataFrame,
+    pred_col: str = "pred",
+    pred_emb_col: str = "pred_embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Cosine top-k properties per distinct predicate
+    (Matcher.py:188-256 semantics: score = max over label+alias
+    embeddings per property; best_match_text = the alias that won if it
+    beat the label). Returns (pred, prop_id, label, best_match_text,
+    similarity, rank_pos).
+
+    Scale shape: |distinct preds| × |property alias rows| via broadcast
+    nested-loop on the tiny dictionary — never a shuffle of the facts.
+    For dictionaries too big to cross (not the case here), swap in an
+    LSH blocking join; the interface stays the same.
+    """
+    d = F.broadcast(
+        property_dict.select(
+            "prop_id",
+            F.col("label").alias("_plabel"),
+            "alias",
+            F.col("rank").alias("_prank"),
+            F.col("embedding").alias("_pemb"),
+        )
+    )
+    scored = predicates.crossJoin(d).withColumn(
+        "_sim", cosine_expr(F.col(pred_emb_col), F.col("_pemb"))
+    )
+    # per (pred, prop): best similarity over label+aliases; alias text
+    # wins only when strictly greater than the label similarity
+    # (Matcher.py:228-234)
+    per_prop = (
+        scored.groupBy(pred_col, "prop_id")
+        .agg(
+            F.max("_sim").alias("similarity"),
+            # _plabel is constant within a prop_id group
+            F.max("_plabel").alias("label"),
+            F.max_by("alias", F.struct(F.col("_sim"), F.when(F.col("_prank") == 0, 1).otherwise(0)))
+            .alias("best_match_text"),
+        )
+    )
+    w = Window.partitionBy(pred_col).orderBy(
+        F.desc("similarity"), F.asc("prop_id")
+    )
+    return (
+        per_prop.withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= k)
+    )
+
+
+def link_predicates(
+    facts: DataFrame,
+    property_dict: DataFrame,
+    method: str = "exact",
+    pred_col: str = "pred",
+    out_col: str = "pred_id",
+    pred_embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """Predicate linking with the reference's three strategies."""
+    if method == "exact":
+        return link_labels(facts, property_dict, pred_col, out_col, id_col="prop_id")
+    if method not in ("cos_similarity", "mixed"):
+        raise ValueError(f"Invalid method: {method}. Use 'exact', 'cos_similarity', or 'mixed'.")
+    if pred_embeddings is None:
+        raise ValueError("cos_similarity/mixed need pred_embeddings(pred, pred_embedding)")
+    top1 = (
+        topk_properties(pred_embeddings, property_dict, pred_col=pred_col, k=1)
+        .select(pred_col, F.col("prop_id").alias("_cos_id"))
+    )
+    if method == "cos_similarity":
+        return facts.join(F.broadcast(top1), on=pred_col, how="left").withColumnRenamed(
+            "_cos_id", out_col
+        )
+    # mixed: exact first, cosine only for the unmatched remainder
+    exact = link_labels(facts, property_dict, pred_col, out_col, id_col="prop_id")
+    return (
+        exact.join(F.broadcast(top1), on=pred_col, how="left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.col("_cos_id")))
+        .drop("_cos_id")
+    )
+
+
+def link_triples(
+    triples_raw: DataFrame,
+    entity_dict: DataFrame,
+    property_dict: DataFrame,
+    method: str = "exact",
+    pred_embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """triples_raw → triples_linked. Unlinked ids stay NULL;
+    is_literal = object not linked (Integrator.py:145-150)."""
+    out = link_labels(triples_raw, entity_dict, "subj", "subj_id")
+    out = link_labels(out, entity_dict, "obj", "obj_id")
+    out = link_predicates(out, property_dict, method, pred_embeddings=pred_embeddings)
+    return out.withColumn("is_literal", F.col("obj_id").isNull())

@@ -1,0 +1,145 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting. All native column expressions —
+each has an exact DuckDB oracle for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles_expr, tokens_expr
+
+# tiny per-language function-word lists for the n-gram/stopword
+# heuristic language identifier (deterministic, dependency-free)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "a", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "les", "des", "et", "du"),
+    "de": ("der", "die", "das", "und", "nicht", "ein"),
+    "zh": ("de", "shi", "le", "wo", "ni", "ta"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _marker_score(toks: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, predicted_lang, score): argmax of per-language marker
+    counts; ties broken by language code order (deterministic).
+    'und' when no marker hits."""
+    toks = tokens_expr(text_col)
+    scores = F.array(
+        *[
+            F.struct(
+                _marker_score(toks, LANG_MARKERS[lang]).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    # max over (score, reversed-lang) — we want max score, then FIRST
+    # lang alphabetically, so sort desc by score, asc by lang
+    best = F.aggregate(
+        scores,
+        F.struct(F.lit(-1).alias("score"), F.lit("zzz").alias("lang")),
+        lambda acc, s: F.when(
+            (s["score"] > acc["score"])
+            | ((s["score"] == acc["score"]) & (s["lang"] < acc["lang"])),
+            s,
+        ).otherwise(acc),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "predicted_lang"
+        ),
+        best["score"].cast("int").alias("marker_hits"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features plus a
+    composite score in [0,1]. Formula is arbitrary-but-fixed: the value
+    is the *pipeline* (filter pushdown on a computed column), not the
+    scholarship."""
+    t = F.col(text_col)
+    toks = tokens_expr(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    distinct_ratio = F.when(
+        n_tokens > 0, F.size(F.array_distinct(toks)) / n_tokens
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    score = F.round(
+        0.4 * len_score + 0.3 * distinct_ratio + 0.2 * (1 - punct_ratio)
+        + 0.1 * F.least(stop_ratio * 5, F.lit(1.0)),
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_punct.cast("long").alias("n_punct"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (letter runs,
+    digit runs, and single non-alnum glyphs each count as a token —
+    the standard pre-tokenizer upper bound)."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != ""))
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    )
+    return docs.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints: md5 of char k-grams,
+    minimum per window of `window` consecutive positions; the distinct
+    minima are the document's fingerprint set. Returns (id,
+    n_fingerprints, min_fingerprint) — a compact, joinable sketch."""
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(char_shingles_expr(text_col, k)).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        F.col(id_col),
+        (F.col("pos") / window).cast("int").alias("win"),
+        F.md5("gram").alias("h"),
+    )
+    per_win = hashed.groupBy(id_col, "win").agg(F.min("h").alias("fp"))
+    return per_win.groupBy(id_col).agg(
+        F.countDistinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fingerprint"),
+    )

@@ -1,0 +1,140 @@
+"""Table catalog with atomic snapshot commits and a manifest table.
+
+Production target is Iceberg (`df.writeTo(table).append()` + snapshot
+ids); this sandbox has no Iceberg runtime jars, so the catalog is
+parquet-backed with the same *semantics*:
+
+- writes are staged to `<table>/.staging-<snapshot>` and atomically
+  renamed to `<table>/snapshot=<n>` — a reader never sees a partial
+  write (Iceberg's atomic snapshot commit, approximated with a POSIX
+  rename);
+- every committed write appends a manifest row (stage, status, row
+  counts, snapshot id, wall time) — the per-partition lineage the
+  north_rule requires lives in the parquet files' own partition
+  structure plus these counters;
+- `latest_snapshot` + `read` resolve the newest committed snapshot, so
+  a killed-and-rerun job resumes from the last committed state
+  (exactly-once append: a stage re-run first checks the manifest).
+
+Swap-in for Iceberg: replace _commit_dir with `writeTo(...).append()`
+and `latest_snapshot` with the Iceberg snapshots metadata table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class CommitInfo:
+    table: str
+    snapshot_id: int
+    rows: int
+
+
+class ParquetCatalog:
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.jsonl")
+
+    # -- snapshots --------------------------------------------------------
+    def snapshots(self, table: str) -> list[int]:
+        d = self._table_dir(table)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("snapshot="):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    def latest_snapshot(self, table: str) -> int | None:
+        snaps = self.snapshots(table)
+        return snaps[-1] if snaps else None
+
+    def exists(self, table: str) -> bool:
+        return self.latest_snapshot(table) is not None
+
+    # -- io ----------------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        stage: str | None = None,
+        rows_in: int | None = None,
+        repartition_by: str | None = None,
+        num_partitions: int | None = None,
+    ) -> CommitInfo:
+        """Stage → atomic rename → manifest append."""
+        t0 = time.time()
+        snap = (self.latest_snapshot(table) or 0) + 1
+        d = self._table_dir(table)
+        os.makedirs(d, exist_ok=True)
+        staging = os.path.join(d, f".staging-{snap}")
+        final = os.path.join(d, f"snapshot={snap}")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        if repartition_by:
+            from pyspark.sql import functions as F
+
+            if num_partitions:
+                df = df.repartition(num_partitions, F.col(repartition_by))
+            else:
+                df = df.repartition(F.col(repartition_by))
+        df.write.mode("overwrite").parquet(staging)
+        os.rename(staging, final)  # atomic commit
+        rows = self.spark.read.parquet(final).count()
+        self._append_manifest(
+            {
+                "run_id": os.environ.get("KG_RUN_ID", "local"),
+                "stage": stage or table,
+                "status": "committed",
+                "rows_in": rows_in if rows_in is not None else -1,
+                "rows_out": rows,
+                "snapshot_id": snap,
+                "wall_sec": round(time.time() - t0, 3),
+                "updated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+        )
+        return CommitInfo(table, snap, rows)
+
+    def read(self, table: str, snapshot: int | None = None) -> DataFrame:
+        snap = snapshot or self.latest_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        return self.spark.read.parquet(
+            os.path.join(self._table_dir(table), f"snapshot={snap}")
+        )
+
+    # -- manifest -----------------------------------------------------------
+    def _append_manifest(self, row: dict) -> None:
+        with open(self._manifest_path(), "a", encoding="utf-8") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def manifest(self) -> list[dict]:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return []
+        with open(p, encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def committed_stages(self) -> set[str]:
+        return {
+            r["stage"]
+            for r in self.manifest()
+            if r["status"] == "committed"
+        }
