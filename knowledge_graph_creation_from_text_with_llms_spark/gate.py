@@ -1,0 +1,764 @@
+"""Driver correctness-gate queries and their DuckDB oracles.
+
+Each entry in QUERIES is a callable (spark, sf_dir) -> DataFrame built
+from the package's operators; ORACLES holds the equivalent ANSI SQL
+that DuckDB runs over the same parquet tables. Both sides are written
+so results are *bit-identical*: same tokenization regex, md5-based
+hashing, identical arithmetic expression order (IEEE doubles are
+deterministic when the op order matches), explicit BIGINT/DOUBLE casts,
+deterministic tie-breaks in every window.
+
+Naming contract: every computed column is aliased identically on both
+sides (the driver sorts columns by name and value-hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.hashing import md5_qid
+from .functions.text import bigrams_expr, tokens_expr
+from .operators import canonicalizer, dedup, graph, linker, metrics, parser
+from .operators import similarity, textstats
+from .operators.chunker import chunk_array_udf
+
+CHUNK_SIZE = 120  # word-unit chunking of the ~300-char synthetic docs
+DICT_MIN_DF = 20  # tokens present in >= this many docs enter the dict
+
+# ---------------------------------------------------------------------------
+# shared loaders / building blocks (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _mentions(docs: DataFrame) -> DataFrame:
+    """distinct (doc_id, token)."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_expr("text"))).alias("token")
+    )
+
+
+def _entity_dict(docs: DataFrame) -> DataFrame:
+    """Broadcast alias dictionary derived deterministically from the
+    corpus: tokens appearing in >= DICT_MIN_DF distinct docs, with
+    md5-based Q-ids (FIXTURES.md §4 stand-in, rebuildable in SQL)."""
+    df = (
+        _mentions(docs)
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= DICT_MIN_DF)
+    )
+    return df.select(
+        md5_qid("token").alias("entity_id"),
+        F.col("token").alias("label"),
+        F.col("token").alias("alias"),
+        F.lit(0).alias("rank"),
+    )
+
+
+def _triples_raw(docs: DataFrame) -> DataFrame:
+    """Adjacent-token co-occurrence triples with multiplicity."""
+    pairs = docs.select(
+        "doc_id", F.explode(bigrams_expr("text")).alias("bg")
+    ).select("doc_id", F.col("bg.subj").alias("subj"), F.col("bg.obj").alias("obj"))
+    return (
+        pairs.groupBy("doc_id", "subj", "obj")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .select("doc_id", "subj", F.lit("precedes").alias("pred"), "obj", "weight")
+    )
+
+
+def _linked_triples(docs: DataFrame) -> DataFrame:
+    """triples_raw with subj/obj linked through the derived dictionary
+    (the real linker operator: distinct-labels broadcast join)."""
+    ed = _entity_dict(docs)
+    tr = _triples_raw(docs)
+    out = linker.link_labels(tr, ed, "subj", "subj_id")
+    out = linker.link_labels(out, ed, "obj", "obj_id")
+    return out.withColumn("is_literal", F.col("obj_id").isNull())
+
+
+def _edges(docs: DataFrame) -> DataFrame:
+    linked = _linked_triples(docs).select(
+        F.coalesce("subj_id", "subj").alias("src_id"),
+        F.lit("precedes").alias("pred_id"),
+        F.coalesce("obj_id", "obj").alias("dst_id"),
+        "is_literal",
+        "weight",
+    )
+    deduped = linked.groupBy("src_id", "pred_id", "dst_id", "is_literal").agg(
+        F.sum("weight").cast("long").alias("weight")
+    )
+    return deduped.select(
+        "src_id",
+        "pred_id",
+        "dst_id",
+        "is_literal",
+        graph.entity_uri_expr(F.col("src_id")).alias("src_uri"),
+        graph.property_uri_expr(F.col("pred_id")).alias("pred_uri"),
+        F.when(F.col("is_literal"), F.col("dst_id"))
+        .otherwise(graph.entity_uri_expr(F.col("dst_id")))
+        .alias("dst_uri"),
+        "weight",
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+
+TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+SQL_MENTIONS = f"""
+mentions AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest({TOK}) AS token FROM documents)
+)"""
+
+SQL_DICT = f"""
+dict AS (
+  SELECT token, 'Q' || upper(substr(md5(token), 1, 8)) AS entity_id
+  FROM (SELECT token, count(DISTINCT doc_id) AS df FROM (
+          SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest({TOK}) AS token FROM documents))
+        GROUP BY token)
+  WHERE df >= {DICT_MIN_DF}
+)"""
+
+SQL_TRIPLES = f"""
+triples AS (
+  SELECT doc_id, subj, 'precedes' AS pred, obj, CAST(count(*) AS BIGINT) AS weight
+  FROM (
+    SELECT doc_id,
+           unnest(ws[1:len(ws)-1]) AS subj,
+           unnest(ws[2:len(ws)])   AS obj
+    FROM (SELECT doc_id, {TOK} AS ws FROM documents)
+    WHERE len(ws) >= 2)
+  GROUP BY doc_id, subj, obj
+)"""
+
+SQL_EDGES = f"""
+{SQL_TRIPLES},
+{SQL_DICT.lstrip()},
+linked AS (
+  SELECT coalesce(ds.entity_id, t.subj) AS src_id,
+         'precedes' AS pred_id,
+         coalesce(do_.entity_id, t.obj) AS dst_id,
+         (do_.entity_id IS NULL) AS is_literal,
+         t.weight
+  FROM triples t
+  LEFT JOIN dict ds ON t.subj = ds.token
+  LEFT JOIN dict do_ ON t.obj = do_.token
+),
+edges AS (
+  SELECT src_id, pred_id, dst_id, is_literal,
+         CASE WHEN src_id LIKE 'Q%' THEN 'http://www.wikidata.org/entity/' || src_id
+              ELSE 'http://example.org/entity/' || src_id END AS src_uri,
+         'http://example.org/property/precedes' AS pred_uri,
+         CASE WHEN is_literal THEN dst_id
+              WHEN dst_id LIKE 'Q%' THEN 'http://www.wikidata.org/entity/' || dst_id
+              ELSE 'http://example.org/entity/' || dst_id END AS dst_uri,
+         CAST(sum(weight) AS BIGINT) AS weight
+  FROM linked
+  GROUP BY src_id, pred_id, dst_id, is_literal
+)"""
+
+SQL_SHINGLES = f"""
+shingles AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(ws) - 1),
+                                      i -> array_to_string(ws[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, source, {TOK} AS ws FROM documents)
+  WHERE len(ws) >= 3
+)"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# -- 1. chunker --------------------------------------------------------------
+
+@_q(
+    "kg_chunks",
+    f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, {TOK} AS ws FROM documents
+), words AS (
+  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS idx
+  FROM base WHERE len(ws) > 0
+), state AS (
+  SELECT doc_id, idx, word, 1 AS chunk_id, length(word) AS cur_len
+  FROM words WHERE idx = 1
+  UNION ALL
+  SELECT w.doc_id, w.idx, w.word,
+    CASE WHEN s.cur_len + length(w.word) + 1 <= {CHUNK_SIZE}
+         THEN s.chunk_id ELSE s.chunk_id + 1 END,
+    CASE WHEN s.cur_len + length(w.word) + 1 <= {CHUNK_SIZE}
+         THEN s.cur_len + length(w.word) + 1 ELSE length(w.word) END
+  FROM state s JOIN words w ON w.doc_id = s.doc_id AND w.idx = s.idx + 1
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       string_agg(word, ' ' ORDER BY idx) AS text
+FROM state GROUP BY doc_id, chunk_id
+""",
+)
+def kg_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy fold chunker (reference Extractor.py:72-93 semantics) in
+    word-unit mode over the synthetic docs."""
+    docs = _docs(spark, sf_dir)
+    arr = chunk_array_udf(CHUNK_SIZE, "word")(F.col("text"))
+    return docs.select(
+        "doc_id", F.posexplode(arr).alias("pos", "text")
+    ).select(
+        "doc_id", (F.col("pos") + 1).cast("long").alias("chunk_id"), "text"
+    )
+
+
+# -- 2. mention detection ------------------------------------------------------
+
+@_q(
+    "kg_mentions",
+    f"WITH {SQL_MENTIONS.lstrip()} SELECT doc_id, token FROM mentions",
+)
+def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mentions(_docs(spark, sf_dir))
+
+
+# -- 3. raw triples ---------------------------------------------------------------
+
+@_q(
+    "kg_triples_raw",
+    f"WITH {SQL_TRIPLES.lstrip()} SELECT doc_id, subj, pred, obj, weight FROM triples",
+)
+def kg_triples_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _triples_raw(_docs(spark, sf_dir))
+
+
+# -- 4. response parse grammar ---------------------------------------------------
+
+@_q(
+    "kg_parse_triples",
+    f"""
+WITH lines AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN '1. (' || ws[1] || ', rel, ' || ws[2] || ')'
+      WHEN 1 THEN '("' || ws[1] || '", "rel2", "' || ws[3] || '");'
+      WHEN 2 THEN '(' || ws[1] || ', ' || ws[2] || ')'
+      ELSE '12. ((' || ws[2] || ', rel3, ' || ws[3] || '))'
+    END AS line
+  FROM (SELECT doc_id, {TOK} AS ws FROM documents)
+  WHERE len(ws) >= 3
+), parsed AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(line, '^[0-9. ]+', ''),
+               '^[()]+', ''),
+             '[()]+$', ''),
+           ', ') AS parts
+  FROM lines
+)
+SELECT doc_id, trim(parts[1]) AS subj, trim(parts[2]) AS pred,
+       trim(parts[3]) AS obj
+FROM parsed WHERE len(parts) = 3
+""",
+)
+def kg_parse_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the exact writer-side parse grammar
+    (TripleGenerator.py:148-164) on deterministically synthesized
+    response lines: numbered, quoted+semicolon, arity-2 (dropped), and
+    double-paren variants."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_expr("text")
+    t1, t2, t3 = (F.element_at(toks, i) for i in (1, 2, 3))
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    line = (
+        F.when(m == 0, F.concat(F.lit("1. ("), t1, F.lit(", rel, "), t2, F.lit(")")))
+        .when(m == 1, F.concat(F.lit('("'), t1, F.lit('", "rel2", "'), t3, F.lit('");')))
+        .when(m == 2, F.concat(F.lit("("), t1, F.lit(", "), t2, F.lit(")")))
+        .otherwise(F.concat(F.lit("12. (("), t2, F.lit(", rel3, "), t3, F.lit("))")))
+    )
+    resp = docs.where(F.size(toks) >= 3).select("doc_id", line.alias("response"))
+    return parser.parse_responses(resp, carry_cols=("doc_id",))
+
+
+# -- 5. entity linking ---------------------------------------------------------
+
+@_q(
+    "kg_link_entities",
+    f"""
+WITH {SQL_MENTIONS.lstrip()},
+{SQL_DICT.lstrip()}
+SELECT m.doc_id, m.token, d.entity_id,
+       (d.entity_id IS NULL) AS is_literal
+FROM mentions m LEFT JOIN dict d ON m.token = d.token
+""",
+)
+def kg_link_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    linked = linker.link_labels(
+        _mentions(docs), _entity_dict(docs), "token", "entity_id"
+    )
+    return linked.select(
+        "doc_id", "token", "entity_id", F.col("entity_id").isNull().alias("is_literal")
+    )
+
+
+# -- 6. canonicalization (salted two-phase reduce) ------------------------------
+
+@_q(
+    "kg_canonicalize",
+    f"""
+SELECT token AS canonical_key,
+       'E' || substr(md5(token), 1, 16) AS node_id,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, unnest({TOK}) AS token FROM documents)
+GROUP BY token
+""",
+)
+def kg_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    occurrences = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("label")
+    )
+    out = canonicalizer.salted_mention_counts(occurrences, label_col="label")
+    return out.select(
+        "canonical_key", "node_id",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+# -- 7. edges ----------------------------------------------------------------------
+
+@_q(
+    "kg_edges",
+    f"WITH {SQL_EDGES.lstrip()} SELECT * FROM edges",
+)
+def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _edges(_docs(spark, sf_dir))
+
+
+# -- 8. adjacency ---------------------------------------------------------------
+
+@_q(
+    "kg_adjacency",
+    f"""
+WITH {SQL_EDGES.lstrip()}
+SELECT src_id AS node_id,
+       CAST(count(*) AS BIGINT) AS out_degree,
+       string_agg(pred_id || ':' || dst_id, ';' ORDER BY pred_id || ':' || dst_id)
+         AS neighbors
+FROM edges GROUP BY src_id
+""",
+)
+def kg_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(_docs(spark, sf_dir))
+    return (
+        edges.groupBy(F.col("src_id").alias("node_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("out_degree"),
+            F.concat_ws(
+                ";",
+                F.array_sort(F.collect_list(F.concat("pred_id", F.lit(":"), "dst_id"))),
+            ).alias("neighbors"),
+        )
+    )
+
+
+# -- 9. graph statistics --------------------------------------------------------
+
+@_q(
+    "kg_graph_stats",
+    f"""
+WITH {SQL_EDGES.lstrip()}
+SELECT CAST(count(*) AS BIGINT) AS total_triples,
+       CAST(sum(weight) AS BIGINT) AS total_raw_triples,
+       CAST(count(DISTINCT src_id) AS BIGINT) AS unique_subjects,
+       CAST(count(DISTINCT pred_id) AS BIGINT) AS unique_predicates,
+       CAST(count(DISTINCT dst_id) AS BIGINT) AS unique_objects
+FROM edges
+""",
+)
+def kg_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(_docs(spark, sf_dir))
+    return edges.agg(
+        F.count(F.lit(1)).alias("total_triples"),
+        F.sum("weight").cast("long").alias("total_raw_triples"),
+        F.countDistinct("src_id").alias("unique_subjects"),
+        F.countDistinct("pred_id").alias("unique_predicates"),
+        F.countDistinct("dst_id").alias("unique_objects"),
+    )
+
+
+# -- 10. P/R/F1 metrics ------------------------------------------------------------
+
+@_q(
+    "kg_metrics_strict",
+    f"""
+WITH {SQL_TRIPLES.lstrip()},
+gen AS (SELECT DISTINCT subj, pred, obj FROM triples WHERE doc_id % 2 = 0),
+gt  AS (SELECT DISTINCT subj, pred, obj FROM triples WHERE doc_id % 3 = 0),
+c AS (
+  SELECT
+    (SELECT count(*) FROM gen JOIN gt USING (subj, pred, obj)) AS tp,
+    (SELECT count(*) FROM gen ANTI JOIN gt USING (subj, pred, obj)) AS fp,
+    (SELECT count(*) FROM gt ANTI JOIN gen USING (subj, pred, obj)) AS fn
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0e0 END AS precision,
+       CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0e0 END AS recall,
+       CASE WHEN tp = 0 THEN 0e0 ELSE
+         2e0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
+         / ((CAST(tp AS DOUBLE) / (tp + fp)) + (CAST(tp AS DOUBLE) / (tp + fn)))
+       END AS f1
+FROM c
+""",
+)
+def kg_metrics_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _triples_raw(_docs(spark, sf_dir))
+    gen = tr.where(F.col("doc_id") % 2 == 0).select("subj", "pred", "obj")
+    gt = tr.where(F.col("doc_id") % 3 == 0).select("subj", "pred", "obj")
+    return metrics.strict_metrics(gen, gt)
+
+
+# -- 11. exact dedup -------------------------------------------------------------
+
+@_q(
+    "dedup_exact",
+    """
+SELECT md5(text) AS content_md5,
+       CAST(min(doc_id) AS BIGINT) AS survivor_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+# -- 12. minhash LSH -------------------------------------------------------------
+
+_MH_SQL_SIGS = """
+sigs AS (
+  SELECT doc_id,
+    [list_aggregate(list_transform(sh, x -> md5(CAST(h AS VARCHAR) || '|' || x)), 'min')
+     FOR h IN range(8)] AS mh
+  FROM shingles
+),
+bands AS (
+  SELECT doc_id, unnest(range(4)) AS band_id,
+         unnest([mh[1]||'|'||mh[2], mh[3]||'|'||mh[4],
+                 mh[5]||'|'||mh[6], mh[7]||'|'||mh[8]]) AS band_key
+  FROM sigs
+)"""
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+WITH {SQL_SHINGLES.lstrip()},
+{_MH_SQL_SIGS.lstrip()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+FROM cand c
+JOIN shingles sa ON sa.doc_id = c.id_a
+JOIN shingles sb ON sb.doc_id = c.id_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(sa.sh || sb.sh)) >= 0.5e0
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
+
+
+# -- 13. simhash ---------------------------------------------------------------------
+
+@_q(
+    "dedup_simhash",
+    f"""
+WITH tok_counts AS (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({TOK}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN substr(md5(tok), CAST(b AS INT) + 1, 1) >= '8'
+                  THEN cnt ELSE -cnt END) AS s
+  FROM tok_counts, range(16) t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash16(_docs(spark, sf_dir))
+
+
+# -- 14. blocked n-gram jaccard ----------------------------------------------------
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {SQL_SHINGLES.lstrip()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(a.sh || b.sh)) AS jaccard
+FROM shingles a JOIN shingles b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(a.sh || b.sh)) >= 0.3e0
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), block_col="source", threshold=0.3
+    )
+
+
+# -- 15. embedding cosine near-dup ------------------------------------------------
+
+_SQL_COS = """
+  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+@_q(
+    "dedup_embedding_neardup",
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_SQL_COS} AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_SQL_COS} >= 0.35e0
+""",
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_neardup_pairs(
+        _embs(spark, sf_dir), block_col="label", threshold=0.35
+    )
+
+
+# -- 16/17. ANN top-k --------------------------------------------------------------
+
+_SQL_ANN_BASE = f"""
+queries AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+            WHERE vec_id % 100 = 0)
+"""
+
+_SQL_COS_QC = """
+  list_sum(list_transform(list_zip(q.q_emb, c.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+@_q(
+    "ann_topk_bruteforce",
+    f"""
+WITH {_SQL_ANN_BASE.lstrip()},
+scored AS (
+  SELECT q.q_id, c.vec_id, {_SQL_COS_QC} AS cos
+  FROM queries q JOIN embeddings c ON q.q_id <> c.vec_id
+)
+SELECT q_id, vec_id, cos, CAST(rank_pos AS BIGINT) AS rank_pos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+           AS rank_pos
+  FROM scored)
+WHERE rank_pos <= 10
+""",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = similarity.brute_force_topk(queries, embs, k=10)
+    return out.withColumn("rank_pos", F.col("rank_pos").cast("long"))
+
+
+@_q(
+    "ann_topk_ivf",
+    f"""
+WITH {_SQL_ANN_BASE.lstrip()},
+cb AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bkt
+  FROM embeddings
+), qb AS (
+  SELECT q_id, q_emb,
+         (CASE WHEN q_emb[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN q_emb[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN q_emb[3] > 0 THEN 4 ELSE 0 END) AS bkt
+  FROM queries
+), scored AS (
+  SELECT q.q_id, c.vec_id, {_SQL_COS_QC} AS cos
+  FROM qb q JOIN cb c ON q.bkt = c.bkt AND q.q_id <> c.vec_id
+)
+SELECT q_id, vec_id, cos, CAST(rank_pos AS BIGINT) AS rank_pos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+           AS rank_pos
+  FROM scored)
+WHERE rank_pos <= 10
+""",
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = similarity.ivf_topk(queries, embs, k=10, bits=3)
+    return out.withColumn("rank_pos", F.col("rank_pos").cast("long"))
+
+
+# -- 18. language id ---------------------------------------------------------------
+
+def _lang_sql_values() -> str:
+    rows = []
+    for lang in sorted(textstats.LANG_MARKERS):
+        lst = ", ".join(f"'{m}'" for m in textstats.LANG_MARKERS[lang])
+        rows.append(f"('{lang}', [{lst}])")
+    return ", ".join(rows)
+
+
+@_q(
+    "text_language_id",
+    f"""
+WITH langs(lang, markers) AS (VALUES {_lang_sql_values()}),
+scores AS (
+  SELECT d.doc_id, l.lang,
+         len(list_filter({TOK}, t -> list_contains(l.markers, t))) AS score
+  FROM documents d CROSS JOIN langs l
+), ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS predicted_lang,
+       CAST(score AS BIGINT) AS marker_hits
+FROM ranked WHERE rn = 1
+""",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.language_id(_docs(spark, sf_dir))
+    return out.withColumn("marker_hits", F.col("marker_hits").cast("long"))
+
+
+# -- 19. quality -------------------------------------------------------------------
+
+@_q(
+    "text_quality",
+    f"""
+WITH base AS (
+  SELECT doc_id, text, {TOK} AS toks,
+         length(text) AS n_chars,
+         len({TOK}) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter({TOK},
+             t -> list_contains(['the','of','and','a','to','in','is'], t))) AS n_stop
+  FROM documents
+), ratios AS (
+  SELECT doc_id, n_chars, n_tokens, n_punct,
+    CASE WHEN n_tokens > 0
+         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens ELSE 0e0 END
+      AS distinct_ratio,
+    CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0e0 END
+      AS stop_ratio,
+    CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0e0 END
+      AS punct_ratio
+  FROM base
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_punct AS BIGINT) AS n_punct,
+       distinct_ratio, stop_ratio,
+       0.4e0 * least(n_chars / 500.0e0, 1.0e0) + 0.3e0 * distinct_ratio
+         + 0.2e0 * (1 - punct_ratio) + 0.1e0 * least(stop_ratio * 5, 1.0e0)
+         AS quality_score
+FROM ratios
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(_docs(spark, sf_dir))
+
+
+# -- 20. token counts ----------------------------------------------------------------
+
+@_q(
+    "text_token_counts",
+    r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+         AS bpe_tokens
+FROM documents
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+# -- 21. fingerprints -----------------------------------------------------------------
+
+@_q(
+    "text_fingerprints",
+    """
+WITH grams AS (
+  SELECT doc_id, pos, md5(substr(lower(text), CAST(pos AS INT) + 1, 8)) AS h
+  FROM (SELECT doc_id, text, unnest(range(0, length(text) - 7)) AS pos
+        FROM documents WHERE length(text) >= 8)
+), per_win AS (
+  SELECT doc_id, pos // 8 AS win, min(h) AS fp
+  FROM grams GROUP BY doc_id, pos // 8
+)
+SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+       min(fp) AS min_fingerprint
+FROM per_win GROUP BY doc_id
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.fingerprints(_docs(spark, sf_dir))
+    return out.withColumn("n_fingerprints", F.col("n_fingerprints").cast("long"))

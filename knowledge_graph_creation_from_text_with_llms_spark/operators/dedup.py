@@ -107,7 +107,7 @@ def minhash_lsh_pairs(
             / F.size(F.array_union("_sa", "_sb")),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", F.col("jaccard"))
     )
     return j
 
@@ -170,7 +170,7 @@ def ngram_jaccard_pairs(
             / F.size(F.array_union("_sa", "_sb")),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", F.col("jaccard"))
     )
 
 
@@ -201,5 +201,5 @@ def embedding_neardup_pairs(
         joined.where(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cosine_expr(F.col("_ea"), F.col("_eb")))
         .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .select("id_a", "id_b", F.col("cos"))
     )

@@ -43,7 +43,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rank_pos", F.row_number().over(w))
         .where(F.col("rank_pos") <= k)
-        .select(q_id, c_id, F.round("cos", 6).alias("cos"), "rank_pos")
+        .select(q_id, c_id, F.col("cos"), "rank_pos")
     )
 
 
@@ -81,5 +81,5 @@ def ivf_topk(
     return (
         scored.withColumn("rank_pos", F.row_number().over(w))
         .where(F.col("rank_pos") <= k)
-        .select(q_id, c_id, F.round("cos", 6).alias("cos"), "rank_pos")
+        .select(q_id, c_id, F.col("cos"), "rank_pos")
     )

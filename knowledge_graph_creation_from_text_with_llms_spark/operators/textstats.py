@@ -84,18 +84,17 @@ def quality_scores(
     stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    score = F.round(
+    score = (
         0.4 * len_score + 0.3 * distinct_ratio + 0.2 * (1 - punct_ratio)
-        + 0.1 * F.least(stop_ratio * 5, F.lit(1.0)),
-        6,
+        + 0.1 * F.least(stop_ratio * 5, F.lit(1.0))
     )
     return docs.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         n_punct.cast("long").alias("n_punct"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stop_ratio"),
         score.alias("quality_score"),
     )
 
