@@ -29,10 +29,23 @@ EX_ENT = "http://example.org/entity/"
 EX_PROP = "http://example.org/property/"
 
 
+def percent_quote_expr(c: Column) -> Column:
+    """urllib.parse.quote parity (the reference's encoder,
+    GraphManager.py:48-49) on top of Spark's form-style url_encode:
+    space → %20 (not '+'), '~' kept, '*' encoded, '/' kept (quote's
+    default safe set)."""
+    e = F.url_encode(c)
+    e = F.regexp_replace(e, r"\+", "%20")
+    e = F.regexp_replace(e, "%7E", "~")
+    e = F.regexp_replace(e, r"\*", "%2A")
+    e = F.regexp_replace(e, "%2F", "/")
+    return e
+
+
 def entity_uri_expr(id_col: Column) -> Column:
     return F.when(
         id_col.startswith("Q"), F.concat(F.lit(WD), id_col)
-    ).otherwise(F.concat(F.lit(EX_ENT), F.url_encode(id_col)))
+    ).otherwise(F.concat(F.lit(EX_ENT), percent_quote_expr(id_col)))
 
 
 def property_uri_expr(id_col: Column) -> Column:
@@ -41,7 +54,7 @@ def property_uri_expr(id_col: Column) -> Column:
     ).otherwise(
         F.concat(
             F.lit(EX_PROP),
-            F.url_encode(F.regexp_replace(F.lower(id_col), " ", "_")),
+            percent_quote_expr(F.regexp_replace(F.lower(id_col), " ", "_")),
         )
     )
 

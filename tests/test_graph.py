@@ -1,0 +1,87 @@
+"""Graph materialization: URI minting (GraphManager.py:48-55), set
+semantics, adjacency, statistics."""
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_creation_from_text_with_llms_spark.operators import graph
+
+
+def _linked(spark):
+    return spark.createDataFrame(
+        [
+            # linked subject+object
+            ("Q36159", "P19", "Q163922", False),
+            # literal object with spaces (needs percent-encoding path)
+            ("Q36159", "plays for", "the best team", True),
+            # duplicate triple → must collapse with weight 2
+            ("Q36159", "P19", "Q163922", False),
+            # unlinked subject
+            ("some person", "P19", "Q1", False),
+        ],
+        "subj_id string, pred_id string, obj_id string, is_literal boolean",
+    ).select(
+        F.col("subj_id").alias("subj"),
+        F.col("pred_id").alias("pred"),
+        F.col("obj_id").alias("obj"),
+        F.col("subj_id"),
+        F.col("pred_id"),
+        F.col("obj_id"),
+        "is_literal",
+    )
+
+
+def test_uri_minting_and_dedup(spark):
+    edges = {
+        (r.src_id, r.pred_id, r.dst_id): r
+        for r in graph.build_edges(_linked(spark)).collect()
+    }
+    linked = edges[("Q36159", "P19", "Q163922")]
+    assert linked.src_uri == "http://www.wikidata.org/entity/Q36159"
+    assert linked.pred_uri == "http://www.wikidata.org/prop/direct/P19"
+    assert linked.dst_uri == "http://www.wikidata.org/entity/Q163922"
+    assert linked.weight == 2  # rdflib set semantics + multiplicity kept
+
+    lit = edges[("Q36159", "plays for", "the best team")]
+    assert lit.pred_uri == "http://example.org/property/plays_for"
+    assert lit.dst_uri == "the best team"  # literals keep surface form
+
+    unlinked = edges[("some person", "P19", "Q1")]
+    assert unlinked.src_uri == "http://example.org/entity/some%20person"
+
+
+def test_extract_id_inverse(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://www.wikidata.org/entity/Q42",),
+            ("http://example.org/property/plays_for",),
+        ],
+        "uri string",
+    )
+    out = [r[0] for r in df.select(graph.extract_id_expr(F.col("uri"))).collect()]
+    assert out == ["Q42", "plays for"]
+
+
+def test_adjacency_sorted_deterministic(spark):
+    edges = graph.build_edges(_linked(spark))
+    adj = {r.node_id: r for r in graph.build_adjacency(edges).collect()}
+    assert adj["Q36159"].out_degree == 2
+    outs = [(o.pred_id, o.dst_id) for o in adj["Q36159"].out]
+    assert outs == sorted(outs)
+
+
+def test_statistics(spark):
+    stats = graph.graph_statistics(graph.build_edges(_linked(spark))).collect()[0]
+    assert stats.total_triples == 3
+    assert stats.total_raw_triples == 4
+    assert stats.unique_subjects == 2
+    assert stats.unique_predicates == 2
+    assert stats.unique_objects == 3
+
+
+def test_turtle_lines(spark):
+    lines = [
+        r.line for r in graph.to_turtle_lines(graph.build_edges(_linked(spark))).collect()
+    ]
+    assert len(lines) == 3
+    assert all(l.endswith(" .") for l in lines)
+    assert any('"the best team"' in l for l in lines)

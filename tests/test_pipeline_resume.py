@@ -1,0 +1,91 @@
+"""Checkpoint/resume idempotence (north_rule: a killed job resumes from
+the last committed snapshot and produces identical final tables)."""
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_creation_from_text_with_llms_spark.plans.pipeline import (
+    KGPipeline,
+    PipelineConfig,
+)
+from knowledge_graph_creation_from_text_with_llms_spark.sources.catalog import (
+    ParquetCatalog,
+)
+from knowledge_graph_creation_from_text_with_llms_spark.sources.corpus import (
+    with_ingest_columns,
+)
+
+
+def _source(spark):
+    rows = [
+        ("r1", f"f{i}.txt", "c" * 40, "text",
+         f"alpha beta gamma delta epsilon zeta eta theta doc{i}. "
+         f"iota kappa lambda mu nu xi omicron pi rho doc{i}.")
+        for i in range(10)
+    ]
+    return with_ingest_columns(
+        spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+    )
+
+
+def _edge_set(cat):
+    return {
+        (r.src_id, r.pred_id, r.dst_id, r.weight)
+        for r in cat.read("edges").collect()
+    }
+
+
+def test_kill_and_resume_is_idempotent(spark, tmp_path):
+    src = _source(spark)
+    cfg = PipelineConfig(chunk_size=60)
+
+    # fresh full run
+    cat_full = ParquetCatalog(str(tmp_path / "full"), spark)
+    KGPipeline(spark, cat_full, cfg).run(src)
+
+    # killed run: only the first three stages committed
+    cat_killed = ParquetCatalog(str(tmp_path / "killed"), spark)
+    pipe = KGPipeline(spark, cat_killed, cfg)
+    cat_killed.write(src, "source", stage="source")
+    cat_killed.write(pipe.stage_chunks(cat_killed.read("source")), "chunks", stage="chunks")
+    assert cat_killed.committed_stages() == {"source", "chunks"}
+
+    # resume completes the rest without re-running committed stages
+    counts = pipe.run(src, resume=True)
+    assert counts["chunks"] == -1  # skipped
+    assert _edge_set(cat_killed) == _edge_set(cat_full)
+    assert pipe.verify_invariant()
+
+
+def test_rerun_after_success_is_noop(spark, tmp_path):
+    src = _source(spark)
+    cat = ParquetCatalog(str(tmp_path / "c"), spark)
+    pipe = KGPipeline(spark, cat, PipelineConfig(chunk_size=60))
+    pipe.run(src)
+    snaps_before = {t: cat.latest_snapshot(t) for t in ("chunks", "edges")}
+    counts = pipe.run(src, resume=True)
+    assert all(v == -1 for k, v in counts.items() if k != "source")
+    assert {t: cat.latest_snapshot(t) for t in ("chunks", "edges")} == snaps_before
+
+
+def test_manifest_records_counters(spark, tmp_path):
+    src = _source(spark)
+    cat = ParquetCatalog(str(tmp_path / "m"), spark)
+    KGPipeline(spark, cat, PipelineConfig(chunk_size=60)).run(src)
+    manifest = cat.manifest()
+    stages = [m["stage"] for m in manifest]
+    for s in ("source", "chunks", "raw_responses", "triples_raw", "edges"):
+        assert s in stages
+    assert all(m["rows_out"] >= 0 and m["status"] == "committed" for m in manifest)
+    assert all(m["wall_sec"] >= 0 for m in manifest)
+
+
+def test_atomic_commit_no_partial_reads(spark, tmp_path):
+    cat = ParquetCatalog(str(tmp_path / "a"), spark)
+    df = spark.range(100).select(F.col("id"))
+    cat.write(df, "t", stage="t")
+    cat.write(df.where("id < 50"), "t", stage="t")
+    assert cat.snapshots("t") == [1, 2]
+    assert cat.read("t").count() == 50          # latest snapshot
+    assert cat.read("t", snapshot=1).count() == 100  # time travel

@@ -1,0 +1,71 @@
+"""ANN top-k vs a numpy oracle."""
+
+import numpy as np
+
+from knowledge_graph_creation_from_text_with_llms_spark.operators import similarity
+
+
+def _vectors(n=50, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, dim)).astype(np.float32)
+    return v
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    v = _vectors()
+    cands = spark.createDataFrame(
+        [(i, v[i].tolist()) for i in range(len(v))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, v[0].tolist()), (7, v[7].tolist())], "q_id long, q_emb array<float>"
+    )
+    got = similarity.brute_force_topk(queries, cands, k=5).collect()
+    vv = v.astype(np.float64)
+    sims = vv @ vv.T / (
+        np.linalg.norm(vv, axis=1)[:, None] * np.linalg.norm(vv, axis=1)[None, :]
+    )
+    for q in (0, 7):
+        order = [
+            i for i in np.argsort(-sims[q], kind="stable") if i != q
+        ][:5]
+        got_q = sorted(
+            [(r.rank_pos, r.vec_id) for r in got if r.q_id == q]
+        )
+        assert [vid for _, vid in got_q] == order
+
+
+def test_ivf_only_probes_own_bucket(spark):
+    v = _vectors()
+    cands = spark.createDataFrame(
+        [(i, v[i].tolist()) for i in range(len(v))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, v[0].tolist())], "q_id long, q_emb array<float>"
+    )
+    got = similarity.ivf_topk(queries, cands, k=10, bits=3).collect()
+
+    def bucket(x):
+        return sum((1 << b) for b in range(3) if x[b] > 0)
+
+    qb = bucket(v[0])
+    assert all(bucket(v[r.vec_id]) == qb for r in got)
+    assert all(r.vec_id != 0 for r in got)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    v = _vectors(n=200)
+    cands = spark.createDataFrame(
+        [(i, v[i].tolist()) for i in range(len(v))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, v[i].tolist()) for i in range(5)], "q_id long, q_emb array<float>"
+    )
+    bf = similarity.brute_force_topk(queries, cands, k=10).collect()
+    ivf = similarity.ivf_topk(queries, cands, k=10, bits=3).collect()
+    bf_set = {(r.q_id, r.vec_id) for r in bf}
+    ivf_set = {(r.q_id, r.vec_id) for r in ivf}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.2  # approximate by design; sanity floor

@@ -1,0 +1,52 @@
+"""Text analysis operators."""
+
+from knowledge_graph_creation_from_text_with_llms_spark.operators import textstats
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick fox is one of the best, and a fine fox!"),
+            (2, "el perro y la casa de los que"),
+            (3, "xyzzy plugh"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_language_id(spark):
+    out = {r.doc_id: r for r in textstats.language_id(_docs(spark)).collect()}
+    assert out[1].predicted_lang == "en"
+    assert out[2].predicted_lang == "es"
+    assert out[3].predicted_lang == "und"
+    assert out[3].marker_hits == 0
+    assert out[4].predicted_lang == "und"
+
+
+def test_quality_scores(spark):
+    out = {r.doc_id: r for r in textstats.quality_scores(_docs(spark)).collect()}
+    assert out[1].n_punct == 2  # ',' and '!'
+    assert out[1].n_tokens == 12
+    assert 0.0 <= out[1].quality_score <= 1.0
+    assert out[4].n_tokens == 0 and out[4].distinct_ratio == 0.0
+
+
+def test_token_counts(spark):
+    out = {r.doc_id: r for r in textstats.token_counts(_docs(spark)).collect()}
+    assert out[3].ws_tokens == 2
+    assert out[3].bpe_tokens == 2
+    assert out[1].bpe_tokens == out[1].ws_tokens + 2  # ','/'!' count alone
+    assert out[4].ws_tokens == 0
+
+
+def test_fingerprints(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz" * 3), (2, "abcdefghijklmnopqrstuvwxyz" * 3)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.fingerprints(docs).collect()}
+    # identical docs → identical fingerprint sketches
+    assert out[1].n_fingerprints == out[2].n_fingerprints
+    assert out[1].min_fingerprint == out[2].min_fingerprint
+    assert out[1].n_fingerprints >= 1
