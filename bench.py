@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...}
+
+The KG end-to-end pipeline (chunk → extract → parse → link → edges →
+adjacency, with snapshot commits) is the flagship; per-operator gate
+queries are timed individually with a no-op sink so the full plan
+executes without driver-side collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", cpus)
+
+    from knowledge_graph_creation_from_text_with_llms_spark import gate, get_spark
+    from knowledge_graph_creation_from_text_with_llms_spark.plans.pipeline import (
+        KGPipeline,
+        PipelineConfig,
+    )
+    from knowledge_graph_creation_from_text_with_llms_spark.sources.catalog import (
+        ParquetCatalog,
+    )
+    from knowledge_graph_creation_from_text_with_llms_spark.sources.corpus import (
+        documents_as_source,
+    )
+
+    spark = get_spark("kg-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def _force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm the JVM/codegen once so per-query numbers measure the plans
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    # -- flagship: end-to-end KG pipeline with snapshot commits ----------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    source = documents_as_source(docs)
+    workdir = tempfile.mkdtemp(prefix="kgbench-")
+    try:
+        cat = ParquetCatalog(workdir, spark)
+        pipe = KGPipeline(
+            spark, cat, PipelineConfig(chunk_size=120, chunk_unit="word")
+        )
+        t0 = time.time()
+        counts = pipe.run(source, resume=False)
+        pipeline_sec = time.time() - t0
+        triples = counts["triples_raw"]
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    timings["kg_pipeline_e2e"] = round(pipeline_sec, 3)
+    triples_per_sec = round(triples / pipeline_sec, 1) if pipeline_sec else 0.0
+
+    # -- per-operator gate queries ---------------------------------------
+    bench_queries = [
+        "kg_chunks",
+        "kg_triples_raw",
+        "kg_link_entities",
+        "kg_canonicalize",
+        "kg_edges",
+        "kg_adjacency",
+        "kg_parse_triples",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_neardup",
+        "ann_topk_bruteforce",
+        "ann_topk_ivf",
+        "text_language_id",
+        "text_quality",
+        "text_token_counts",
+        "text_fingerprints",
+    ]
+    for name in bench_queries:
+        fn = gate.QUERIES[name]
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "kg_construct_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "triples_per_sec": triples_per_sec,
+                "triples_raw": triples,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,9 +49,19 @@ def minhash_band_keys(
 ) -> DataFrame:
     """(id, band_id, band_key) — LSH bucketing keys. band_key is the
     concat of rows_per_band adjacent minhash signatures."""
-    sh = word_shingles_expr(text_col, shingle_n)
-    sigs = [minhash_expr(sh, i).alias(f"_mh{i}") for i in range(num_hashes)]
-    with_sigs = docs.select(F.col(id_col), *sigs).where(F.col("_mh0").isNotNull())
+    # materialize the shingle array once — referencing
+    # word_shingles_expr inside each signature would re-run the
+    # tokenize+transform pipeline num_hashes times (no CSE across
+    # independent higher-order expressions; ~8x the scan cost)
+    with_sh = docs.select(
+        F.col(id_col), word_shingles_expr(text_col, shingle_n).alias("_sh")
+    )
+    sigs = [
+        minhash_expr(F.col("_sh"), i).alias(f"_mh{i}") for i in range(num_hashes)
+    ]
+    with_sigs = with_sh.select(F.col(id_col), *sigs).where(
+        F.col("_mh0").isNotNull()
+    )
     bands = num_hashes // rows_per_band
     parts = []
     for b in range(bands):
@@ -159,15 +169,29 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.array_distinct(word_shingles_expr(text_col, shingle_n)).alias("_sh"),
     ).where(F.size("_sh") > 0)
-    a = sh.select("_blk", F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
-    b = sh.select("_blk", F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
-    return (
-        a.join(b, "_blk")
+    # inverted index: |A ∩ B| by counting shared (block, shingle) rows —
+    # pairs with zero overlap never materialize, and no shingle ARRAY is
+    # duplicated onto O(pairs) join rows (the naive blocked
+    # array_intersect form was the bench hotspot and would be quadratic
+    # in rows×array-size at 100 TB)
+    inv = sh.select(
+        "_blk", F.col(id_col), F.explode("_sh").alias("_g")
+    )
+    a = inv.select("_blk", F.col(id_col).alias("id_a"), "_g")
+    b = inv.select("_blk", F.col(id_col).alias("id_b"), "_g")
+    inter = (
+        a.join(b, ["_blk", "_g"])
         .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("_sa", "_sb"))
-            / F.size(F.array_union("_sa", "_sb")),
+            F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.col("jaccard"))
