@@ -449,6 +449,133 @@ def kg_metrics_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.strict_metrics(gen, gt)
 
 
+# -- 10b. relaxed containment metrics (J7) ---------------------------------------
+
+@_q(
+    "kg_metrics_relaxed",
+    f"""
+WITH {SQL_TRIPLES.lstrip()},
+gen AS (SELECT DISTINCT subj, pred, obj FROM triples WHERE doc_id % 5 = 0),
+gt  AS (SELECT DISTINCT substr(subj, 1, 3) AS subj, pred,
+                        substr(obj, 1, 3) AS obj
+        FROM triples WHERE doc_id % 10 = 0),
+c AS (
+  SELECT
+    (SELECT count(*) FROM gt WHERE EXISTS (
+       SELECT 1 FROM gen WHERE contains(gen.subj, gt.subj)
+         AND contains(gen.pred, gt.pred) AND contains(gen.obj, gt.obj)))
+      AS tp,
+    (SELECT count(*) FROM gt) AS total_gt,
+    (SELECT count(*) FROM gen) AS total_gen
+)
+SELECT CAST(tp AS BIGINT) AS tp,
+       CAST(greatest(total_gen - tp, 0) AS BIGINT) AS fp,
+       CAST(total_gt - tp AS BIGINT) AS fn,
+       CASE WHEN tp + greatest(total_gen - tp, 0) > 0
+            THEN CAST(tp AS DOUBLE) / (tp + greatest(total_gen - tp, 0))
+            ELSE 0e0 END AS precision,
+       CASE WHEN total_gt > 0 THEN CAST(tp AS DOUBLE) / total_gt ELSE 0e0 END
+         AS recall,
+       CASE WHEN tp = 0 THEN 0e0 ELSE
+         2e0 * (CAST(tp AS DOUBLE) / (tp + greatest(total_gen - tp, 0)))
+             * (CAST(tp AS DOUBLE) / total_gt)
+         / ((CAST(tp AS DOUBLE) / (tp + greatest(total_gen - tp, 0)))
+            + (CAST(tp AS DOUBLE) / total_gt))
+       END AS f1
+FROM c
+""",
+)
+def kg_metrics_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _triples_raw(_docs(spark, sf_dir))
+    gen = tr.where(F.col("doc_id") % 5 == 0).select("subj", "pred", "obj")
+    gt = tr.where(F.col("doc_id") % 10 == 0).select(
+        F.substring("subj", 1, 3).alias("subj"),
+        "pred",
+        F.substring("obj", 1, 3).alias("obj"),
+    )
+    return metrics.relaxed_metrics(gen, gt)
+
+
+# -- 10c. cosine property top-k (J3/W1) with native hash embeddings -------------
+
+def _SQL_HEMB(var: str) -> str:
+    """SQL for functions.embeddings.hash_embedding_expr over a token
+    list expression `var` (16 dims)."""
+    comps = [
+        f"list_sum(list_transform({var}, t -> ('0x' || substr(md5(t), "
+        f"{2 * d + 1}, 2))::INT / 127.5e0 - 1e0)) / len({var})"
+        for d in range(16)
+    ]
+    return "[" + ", ".join(comps) + "]"
+
+_SQL_COS_AB = """
+  list_sum(list_transform(list_zip(a.emb, b.emb), p -> p[1] * p[2]))
+  / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+     * sqrt(list_sum(list_transform(b.emb, x -> x * x))))
+"""
+
+@_q(
+    "kg_topk_properties",
+    f"""
+WITH toks AS (SELECT doc_id, {TOK} AS ws FROM documents),
+preds AS (
+  SELECT DISTINCT token AS pred FROM (
+    SELECT unnest(ws) AS token FROM toks WHERE doc_id % 101 = 0)
+),
+dict AS (
+  SELECT token, 'P' || upper(substr(md5(token), 1, 8)) AS prop_id
+  FROM (SELECT token, count(DISTINCT doc_id) AS df FROM (
+          SELECT DISTINCT doc_id, unnest(ws) AS token FROM toks)
+        GROUP BY token)
+  WHERE df >= {DICT_MIN_DF}
+),
+a AS (SELECT pred, {_SQL_HEMB("[pred]")} AS emb FROM preds),
+b AS (SELECT token, prop_id, {_SQL_HEMB("[token]")} AS emb FROM dict),
+scored AS (
+  SELECT a.pred, b.prop_id, b.token AS label, {_SQL_COS_AB} AS similarity
+  FROM a CROSS JOIN b
+)
+SELECT pred, prop_id, label, similarity, CAST(rank_pos AS BIGINT) AS rank_pos
+FROM (
+  SELECT pred, prop_id, label, similarity,
+         row_number() OVER (PARTITION BY pred
+                            ORDER BY similarity DESC, prop_id ASC) AS rank_pos
+  FROM scored)
+WHERE rank_pos <= 10
+""",
+)
+def kg_topk_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.embeddings import hash_embedding_expr
+
+    docs = _docs(spark, sf_dir)
+    mentions = _mentions(docs)
+    dict_base = (
+        mentions.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= DICT_MIN_DF)
+    )
+    property_dict = dict_base.select(
+        F.concat(F.lit("P"), F.upper(F.substring(F.md5("token"), 1, 8))).alias(
+            "prop_id"
+        ),
+        F.col("token").alias("label"),
+        F.col("token").alias("alias"),
+        F.lit(0).alias("rank"),
+        hash_embedding_expr(F.col("token")).alias("embedding"),
+    )
+    preds = (
+        docs.where(F.col("doc_id") % 101 == 0)
+        .select(F.explode(F.array_distinct(tokens_expr("text"))).alias("pred"))
+        .distinct()
+        .withColumn("pred_embedding", hash_embedding_expr(F.col("pred")))
+    )
+    out = linker.topk_properties(preds, property_dict, k=10)
+    return out.select(
+        "pred", "prop_id", "label", "similarity",
+        F.col("rank_pos").cast("long").alias("rank_pos"),
+    )
+
+
 # -- 11. exact dedup -------------------------------------------------------------
 
 @_q(

@@ -45,6 +45,7 @@ def salted_mention_counts(
     label_col: str = "label",
     salt_col_source: str = "doc_id",
     num_salts: int = 16,
+    hash_doc_keys: bool = False,
 ) -> DataFrame:
     """mentions(label, doc_id, …) → (canonical_key, node_id,
     n_mentions, n_docs, aliases) via salted two-phase reduce.
@@ -53,25 +54,48 @@ def salted_mention_counts(
     because the salt is derived from doc_id, so a doc never spans two
     salt buckets of the same key.
     """
+    # hash_doc_keys narrows the shuffled doc key to 64 bits (documents
+    # carry long sha256-hex ids); n_docs then counts distinct hashes —
+    # collision odds are (per-key docs)^2 / 2^65, immaterial even at
+    # 10^12 rows, and it roughly halves shuffle bytes in phases 0-1.
+    doc_key = (
+        F.xxhash64(F.col(salt_col_source))
+        if hash_doc_keys
+        else F.col(salt_col_source)
+    )
     keyed = mentions.select(
         canonical_key_expr(label_col).alias("canonical_key"),
         F.col(label_col).alias("_surface"),
-        F.col(salt_col_source).alias("_doc"),
+        doc_key.alias("_doc"),
     ).where(F.col("canonical_key") != "")
-    salted = keyed.withColumn(
+    # counts path — no arrays anywhere (allocating a collect_set per
+    # (key, doc) group dominated the stage at benchmark scale):
+    # phase 0 groups by (key, doc): the doc component spreads hub
+    # entities across all reducers and makes n_docs a plain count;
+    # phase 1 merges per (key, salt); phase 2 merges the S partials.
+    per_doc = keyed.groupBy("canonical_key", "_doc").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    salted = per_doc.withColumn(
         "_salt", F.pmod(F.xxhash64("_doc"), F.lit(num_salts))
     )
     partial = salted.groupBy("canonical_key", "_salt").agg(
-        F.count(F.lit(1)).alias("_cnt"),
-        F.countDistinct("_doc").alias("_docs"),
-        F.collect_set("_surface").alias("_surfaces"),
+        F.sum("_cnt").alias("_cnt"),
+        F.count(F.lit(1)).alias("_docs"),
     )
-    merged = partial.groupBy("canonical_key").agg(
+    counts = partial.groupBy("canonical_key").agg(
         F.sum("_cnt").alias("n_mentions"),
         F.sum("_docs").alias("n_docs"),
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_surfaces"))))
-        .alias("aliases"),
     )
+    # aliases path — (key, surface) distinct is tiny (vocabulary-sized)
+    # and collects only once per key
+    aliases = (
+        keyed.select("canonical_key", "_surface")
+        .distinct()
+        .groupBy("canonical_key")
+        .agg(F.array_sort(F.collect_set("_surface")).alias("aliases"))
+    )
+    merged = counts.join(aliases, "canonical_key")
     return merged.select(
         "canonical_key",
         surrogate_id_expr(F.col("canonical_key")).alias("node_id"),

@@ -123,6 +123,38 @@ def graph_statistics(edges: DataFrame, approx: bool = False) -> DataFrame:
     )
 
 
+def from_turtle_lines(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """Inverse of to_turtle_lines (GraphManager.load_graph analogue,
+    GraphManager.py:108-121): N-Triples-ish lines → (src_id, pred_id,
+    dst_id, is_literal) via extract_id_expr."""
+    uri = r"^<([^>]*)> <([^>]*)> (.*) \.$"
+    parsed = lines.select(
+        F.regexp_extract(F.col(line_col), uri, 1).alias("src_uri"),
+        F.regexp_extract(F.col(line_col), uri, 2).alias("pred_uri"),
+        F.regexp_extract(F.col(line_col), uri, 3).alias("obj_part"),
+    ).where(F.col("src_uri") != "")
+    is_lit = F.col("obj_part").startswith('"')
+
+    def _ident(uri: Column) -> Column:
+        # extract_id_expr is the reference's (lossy, percent-encoded)
+        # extractor; url_decode restores the original surface form so
+        # the round-trip to_turtle_lines ∘ from_turtle_lines is exact
+        return F.url_decode(extract_id_expr(uri))
+
+    dst = F.when(
+        is_lit,
+        F.regexp_replace(
+            F.regexp_extract("obj_part", r'^"(.*)"$', 1), r'\\"', '"'
+        ),
+    ).otherwise(_ident(F.regexp_extract("obj_part", r"^<(.*)>$", 1)))
+    return parsed.select(
+        _ident(F.col("src_uri")).alias("src_id"),
+        _ident(F.col("pred_uri")).alias("pred_id"),
+        dst.alias("dst_id"),
+        is_lit.alias("is_literal"),
+    )
+
+
 def to_turtle_lines(edges: DataFrame) -> DataFrame:
     """N-Triples-ish text lines for TTL-parity artifacts (small graphs
     only — a driver-side nicety, not a scale path)."""

@@ -147,7 +147,17 @@ def link_predicates(
     if method not in ("cos_similarity", "mixed"):
         raise ValueError(f"Invalid method: {method}. Use 'exact', 'cos_similarity', or 'mixed'.")
     if pred_embeddings is None:
-        raise ValueError("cos_similarity/mixed need pred_embeddings(pred, pred_embedding)")
+        # default encoder: the deterministic hash embedding (the
+        # model-free stand-in; see functions.embeddings) over the
+        # distinct predicates — pass pred_embeddings explicitly to use
+        # a real encoder's vectors
+        from ..functions.embeddings import hash_embedding_expr
+
+        pred_embeddings = (
+            facts.select(pred_col)
+            .distinct()
+            .withColumn("pred_embedding", hash_embedding_expr(F.col(pred_col)))
+        )
     top1 = (
         topk_properties(pred_embeddings, property_dict, pred_col=pred_col, k=1)
         .select(pred_col, F.col("prop_id").alias("_cos_id"))

@@ -92,7 +92,7 @@ class KGPipeline:
             )
         )
         return canonicalizer.salted_mention_counts(
-            mentions, num_salts=self.config.num_salts
+            mentions, num_salts=self.config.num_salts, hash_doc_keys=True
         )
 
     def stage_edges(self, triples_linked: DataFrame) -> DataFrame:

@@ -38,6 +38,19 @@ class CommitInfo:
     rows: int
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers only — the committed files' own
+    metadata, no data scan (Iceberg snapshots carry the same counters
+    in their manifests)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return total
+
+
 class ParquetCatalog:
     def __init__(self, root: str, spark: SparkSession):
         self.root = root
@@ -97,7 +110,7 @@ class ParquetCatalog:
                 df = df.repartition(F.col(repartition_by))
         df.write.mode("overwrite").parquet(staging)
         os.rename(staging, final)  # atomic commit
-        rows = self.spark.read.parquet(final).count()
+        rows = _parquet_rows(final)
         self._append_manifest(
             {
                 "run_id": os.environ.get("KG_RUN_ID", "local"),

@@ -39,11 +39,24 @@ def main() -> None:
     )
 
     # partition count sized for the larger parallelism level so both
-    # runs execute the identical plan on identical input splits
+    # runs execute the identical plan on identical input splits.
+    # Snapshots + shuffle spill go to tmpfs: the sandbox's virtual disk
+    # has high-variance bandwidth that would otherwise dominate both
+    # measurements (a real cluster has per-executor local disks and an
+    # object store — per-node bandwidth scales WITH the node count,
+    # unlike this single shared /dev/vda).
+    scratch = tempfile.mkdtemp(prefix="kgscale-local-", dir="/dev/shm")
     spark = get_spark(
         f"kg-scaling-{cpus}",
         master=f"local[{cpus}]",
-        extra_conf={"spark.sql.shuffle.partitions": "64"},
+        extra_conf={
+            "spark.sql.shuffle.partitions": "64",
+            "spark.local.dir": scratch,
+            # the staged corpus is a few hundred MB — the default 128MB
+            # split size would give the map stages fewer input
+            # partitions than cores, serializing the UDF stages
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -56,8 +69,8 @@ def main() -> None:
     ).repartition(64)
     rows_in = source.count()
     # materialize the input once so generation cost is excluded
-    staged = tempfile.mkdtemp(prefix=f"kgscale-src-{cpus}-")
-    workdir = tempfile.mkdtemp(prefix=f"kgscale-{cpus}-")
+    staged = tempfile.mkdtemp(prefix=f"kgscale-src-{cpus}-", dir="/dev/shm")
+    workdir = tempfile.mkdtemp(prefix=f"kgscale-{cpus}-", dir="/dev/shm")
     try:
         source.write.mode("overwrite").parquet(staged)
         src = spark.read.parquet(staged)
@@ -73,6 +86,7 @@ def main() -> None:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(scratch, ignore_errors=True)
     print(
         json.dumps(
             {

@@ -22,12 +22,25 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 
+def run_child_median(cpus: int, replication: int, sf_dir: str, trials: int) -> dict:
+    """Median-of-N wall time (this VM's I/O + neighbor variance is
+    ±30% between identical runs — single samples are meaningless)."""
+    runs = [run_child(cpus, replication, sf_dir) for _ in range(trials)]
+    runs.sort(key=lambda r: r["wall_sec"])
+    med = runs[len(runs) // 2]
+    med["all_walls"] = [r["wall_sec"] for r in runs]
+    return med
+
+
 def run_child(cpus: int, replication: int, sf_dir: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(HERE, "scaling_child.py"),
-         str(cpus), str(replication), sf_dir],
-        capture_output=True, text=True, check=True, cwd=REPO,
-    )
+    # pin the process to exactly `cpus` logical CPUs: without this
+    # the low-parallelism run borrows the whole machine for JVM GC/JIT
+    # helper threads and python workers, overstating its throughput
+    # (an N-core executor on a real cluster has N cores, full stop)
+    cmd = ["taskset", "-c", f"0-{cpus - 1}",
+           sys.executable, os.path.join(HERE, "scaling_child.py"),
+           str(cpus), str(replication), sf_dir]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -36,8 +49,11 @@ def main() -> None:
     replication = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
-    lo = run_child(8, replication, sf_dir)
-    hi = run_child(32, replication, sf_dir)
+    n_lo = int(os.environ.get("KG_SCALE_N", "2"))
+    trials = int(os.environ.get("KG_SCALE_TRIALS", "3"))
+    n_hi = 4 * n_lo
+    lo = run_child_median(n_lo, replication, sf_dir, trials)
+    hi = run_child_median(n_hi, replication, sf_dir, trials)
     eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / 4.0
     result = {
         "sf_dir": sf_dir,
@@ -63,7 +79,7 @@ def _render(r: dict) -> str:
 Scaling evidence for the north_rule criterion (N → 4N executors,
 throughput scaling efficiency >= 0.8). No real cluster exists in this
 sandbox, so per BASELINE.md the same job runs at two parallelism
-levels — `local[8]` (N) and `local[32]` (4N) — on byte-identical
+levels — `local[{r["n"]["cpus"]}]` (N) and `local[{r["four_n"]["cpus"]}]` (4N) — on byte-identical
 input (same staged parquet, same 64-way split plan, fresh JVM per
 run via scripts/scaling_run.py).
 
@@ -75,8 +91,8 @@ overhead.
 
 | parallelism | wall (s) | triples emitted | triples/sec |
 |---|---|---|---|
-| local[8]  (N)  | {lo['wall_sec']} | {lo['triples']:,} | {lo['triples_per_sec']:,} |
-| local[32] (4N) | {hi['wall_sec']} | {hi['triples']:,} | {hi['triples_per_sec']:,} |
+| local[{lo["cpus"]}]  (N)  | {lo['wall_sec']} | {lo['triples']:,} | {lo['triples_per_sec']:,} |
+| local[{hi["cpus"]}] (4N) | {hi['wall_sec']} | {hi['triples']:,} | {hi['triples_per_sec']:,} |
 
 **Scaling efficiency (thr_4N / thr_N) / 4 = {r['scaling_efficiency']}**
 (target >= 0.8: {"MET" if r['meets_target'] else "NOT MET"}).
