@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 
 from .functions.hashing import md5_qid
 from .functions.text import bigrams_expr, tokens_expr
-from .operators import canonicalizer, dedup, graph, linker, metrics, parser
-from .operators import similarity, textstats
+from .operators import canonicalizer, dedup, events, graph, linker, metrics
+from .operators import parser, similarity, textstats
 from .operators.chunker import chunk_array_udf
 
 CHUNK_SIZE = 120  # word-unit chunking of the ~300-char synthetic docs
@@ -37,6 +37,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _mentions(docs: DataFrame) -> DataFrame:
@@ -889,3 +893,105 @@ FROM per_win GROUP BY doc_id
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = textstats.fingerprints(_docs(spark, sf_dir))
     return out.withColumn("n_fingerprints", F.col("n_fingerprints").cast("long"))
+
+
+# -- 22-25. event analytics (beyond-reference: windows/sessionization) ----------
+
+@_q(
+    "events_sessionize",
+    """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, us, cents,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+  SELECT user_id, us, cents,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM sess GROUP BY user_id, session_idx
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = events.sessionize(_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "start_us",
+        "end_us",
+        F.col("value_cents").cast("long").alias("value_cents"),
+    )
+
+
+@_q(
+    "events_type_stats",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       min(event_id) AS first_event_id
+FROM events GROUP BY event_type
+""",
+)
+def events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = events.type_stats(_events(spark, sf_dir))
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("value_cents").cast("long").alias("value_cents"),
+        "first_event_id",
+    )
+
+
+@_q(
+    "events_json_props",
+    """
+SELECT k % 10 AS k_bucket, CAST(count(*) AS BIGINT) AS n,
+       min(k) AS min_k, max(k) AS max_k
+FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+WHERE k IS NOT NULL
+GROUP BY k % 10
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = events.json_prop_stats(_events(spark, sf_dir))
+    return out.select(
+        "k_bucket", F.col("n").cast("long").alias("n"), "min_k", "max_k"
+    )
+
+
+@_q(
+    "events_user_gaps",
+    """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+FROM g GROUP BY user_id
+""",
+)
+def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = events.user_gap_stats(_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        "min_gap_us",
+        "max_gap_us",
+    )

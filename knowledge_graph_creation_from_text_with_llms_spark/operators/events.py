@@ -1,0 +1,96 @@
+"""Event-stream analytics operators (batch form).
+
+The reference has no stream/window processing (SURVEY.md §2.9); these
+are the beyond-reference capabilities a training-data pipeline needs
+for event/telemetry tables: gap-based sessionization (lag window +
+running sum — the batch twin of a streaming session window),
+per-type stats, and JSON property extraction.
+
+Money/metric sums use integer cents (`round(value*100)`) so results
+are order-independent and exactly comparable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def _cents(value: Column) -> Column:
+    return F.round(value * 100).cast("long")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_us: int = SESSION_GAP_US,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the time
+    since the previous event exceeds gap_us. Returns one row per
+    session: (user_id, session_idx, n_events, start_us, end_us,
+    value_cents). Deterministic ordering: (ts, event_id)."""
+    # parquet stores naive timestamps (TIMESTAMP_NTZ); interpret as
+    # UTC (session tz) to get epoch micros, matching DuckDB epoch_us
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(user_col),
+        us.alias("_us"),
+        F.col("event_id"),
+        _cents(F.col("value")).alias("_cents"),
+    )
+    w = Window.partitionBy(user_col).orderBy("_us", "event_id")
+    prev = F.lag("_us").over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col("_us") - prev) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sess = base.withColumn("session_idx", F.sum(new_session).over(run))
+    return with_sess.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+        F.sum("_cents").alias("value_cents"),
+    )
+
+
+def type_stats(events: DataFrame) -> DataFrame:
+    """Per event_type: volume, distinct users, exact cent totals."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(_cents(F.col("value"))).alias("value_cents"),
+        F.min("event_id").alias("first_event_id"),
+    )
+
+
+def json_prop_stats(events: DataFrame, key: str = "k") -> DataFrame:
+    """Extract an integer property from the JSON props column and
+    aggregate by its value bucket (pushdown-friendly typed access to
+    semi-structured data)."""
+    k = F.get_json_object(F.col("props"), f"$.{key}").cast("long")
+    return (
+        events.select(k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def user_gap_stats(events: DataFrame) -> DataFrame:
+    """Per user: inter-event gap extremes (lag window), event count."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    gap = us - F.lag(us).over(w)
+    gaps = events.select(F.col("user_id"), gap.alias("gap_us"))
+    return gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1))).alias("n_events"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )

@@ -1,0 +1,64 @@
+"""Event analytics operators (sessionization, stats, JSON props)."""
+
+import datetime as dt
+
+from knowledge_graph_creation_from_text_with_llms_spark.operators import events
+
+
+def _events(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(eid, user, minutes, etype="click", value=1.5, k=7):
+        return (
+            eid,
+            t0 + dt.timedelta(minutes=minutes),
+            user,
+            etype,
+            value,
+            '{"k": %d}' % k,
+        )
+
+    rows = [
+        row(1, 1, 0),
+        row(2, 1, 10),      # same session (gap 10 min)
+        row(3, 1, 50),      # new session (gap 40 min)
+        row(4, 2, 0, etype="purchase", value=9.99, k=13),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_sessionize_gap_semantics(spark):
+    out = {
+        (r.user_id, r.session_idx): r
+        for r in events.sessionize(_events(spark)).collect()
+    }
+    assert len(out) == 3
+    s1 = out[(1, 1)]
+    assert s1.n_events == 2 and s1.value_cents == 300
+    s2 = out[(1, 2)]
+    assert s2.n_events == 1
+    assert (s2.start_us - s1.start_us) == 50 * 60 * 1_000_000
+
+
+def test_type_stats_exact_cents(spark):
+    out = {r.event_type: r for r in events.type_stats(_events(spark)).collect()}
+    assert out["click"].n_events == 3
+    assert out["click"].value_cents == 450
+    assert out["purchase"].value_cents == 999  # 9.99 → exact integer cents
+
+
+def test_json_prop_stats(spark):
+    out = {r.k_bucket: r for r in events.json_prop_stats(_events(spark)).collect()}
+    assert out[7].n == 3 and out[3].n == 1
+    assert out[3].min_k == 13
+
+
+def test_user_gap_stats(spark):
+    out = {r.user_id: r for r in events.user_gap_stats(_events(spark)).collect()}
+    assert out[1].min_gap_us == 10 * 60 * 1_000_000
+    assert out[1].max_gap_us == 40 * 60 * 1_000_000
+    assert out[2].min_gap_us is None  # single event → no gaps
