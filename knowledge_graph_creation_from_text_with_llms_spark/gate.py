@@ -455,49 +455,109 @@ def kg_metrics_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- 10b. relaxed containment metrics (J7) ---------------------------------------
 
+_SQL_RAW_BIGRAMS = f"""
+raw AS (
+  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS subj, 'precedes' AS pred,
+         unnest(ws[2:len(ws)]) AS obj
+  FROM (SELECT doc_id, {TOK} AS ws FROM documents)
+  WHERE len(ws) >= 2
+)"""
+
 @_q(
     "kg_metrics_relaxed",
     f"""
-WITH {SQL_TRIPLES.lstrip()},
-gen AS (SELECT DISTINCT subj, pred, obj FROM triples WHERE doc_id % 5 = 0),
-gt  AS (SELECT DISTINCT substr(subj, 1, 3) AS subj, pred,
-                        substr(obj, 1, 3) AS obj
-        FROM triples WHERE doc_id % 10 = 0),
+WITH {_SQL_RAW_BIGRAMS.lstrip()},
+gen AS (SELECT subj AS gsubj, pred AS gpred, obj AS gobj
+        FROM raw WHERE doc_id % 5 = 0),
+gt AS (SELECT obj AS subj, pred, subj AS obj FROM raw WHERE doc_id % 10 = 0),
 c AS (
   SELECT
     (SELECT count(*) FROM gt WHERE EXISTS (
-       SELECT 1 FROM gen WHERE contains(gen.subj, gt.subj)
-         AND contains(gen.pred, gt.pred) AND contains(gen.obj, gt.obj)))
-      AS tp,
+       SELECT 1 FROM gen WHERE
+         (gt.subj = '' OR gt.subj IN (gsubj, gpred, gobj))
+         AND (gt.pred = '' OR gt.pred IN (gsubj, gpred, gobj))
+         AND (gt.obj = '' OR gt.obj IN (gsubj, gpred, gobj)))) AS tp,
     (SELECT count(*) FROM gt) AS total_gt,
     (SELECT count(*) FROM gen) AS total_gen
 )
 SELECT CAST(tp AS BIGINT) AS tp,
-       CAST(greatest(total_gen - tp, 0) AS BIGINT) AS fp,
+       CAST(total_gen - tp AS BIGINT) AS fp,
        CAST(total_gt - tp AS BIGINT) AS fn,
-       CASE WHEN tp + greatest(total_gen - tp, 0) > 0
-            THEN CAST(tp AS DOUBLE) / (tp + greatest(total_gen - tp, 0))
-            ELSE 0e0 END AS precision,
+       CASE WHEN total_gen > 0 THEN CAST(tp AS DOUBLE) / total_gen ELSE 0e0 END
+         AS precision,
        CASE WHEN total_gt > 0 THEN CAST(tp AS DOUBLE) / total_gt ELSE 0e0 END
          AS recall,
        CASE WHEN tp = 0 THEN 0e0 ELSE
-         2e0 * (CAST(tp AS DOUBLE) / (tp + greatest(total_gen - tp, 0)))
-             * (CAST(tp AS DOUBLE) / total_gt)
-         / ((CAST(tp AS DOUBLE) / (tp + greatest(total_gen - tp, 0)))
-            + (CAST(tp AS DOUBLE) / total_gt))
+         2e0 * (CAST(tp AS DOUBLE) / total_gen) * (CAST(tp AS DOUBLE) / total_gt)
+         / ((CAST(tp AS DOUBLE) / total_gen) + (CAST(tp AS DOUBLE) / total_gt))
        END AS f1
 FROM c
 """,
 )
 def kg_metrics_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tr = _triples_raw(_docs(spark, sf_dir))
-    gen = tr.where(F.col("doc_id") % 5 == 0).select("subj", "pred", "obj")
-    gt = tr.where(F.col("doc_id") % 10 == 0).select(
-        F.substring("subj", 1, 3).alias("subj"),
-        "pred",
-        F.substring("obj", 1, 3).alias("obj"),
+    """Reference-verbatim relaxed match (tuple membership, duplicate-
+    preserving counts) on raw bigram triples; the GT side has its
+    subject/object swapped — position-independence finds them."""
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(
+        "doc_id", F.explode(bigrams_expr("text")).alias("bg")
+    ).select(
+        "doc_id",
+        F.col("bg.subj").alias("subj"),
+        F.lit("precedes").alias("pred"),
+        F.col("bg.obj").alias("obj"),
+    )
+    gen = pairs.where(F.col("doc_id") % 5 == 0).select("subj", "pred", "obj")
+    gt = pairs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
     )
     return metrics.relaxed_metrics(gen, gt)
+
+
+@_q(
+    "kg_metrics_rouge1",
+    f"""
+WITH {_SQL_RAW_BIGRAMS.lstrip()},
+gen AS (SELECT DISTINCT subj, pred, obj FROM raw WHERE doc_id % 50 = 0),
+gtd AS (SELECT DISTINCT subj, pred, obj FROM raw WHERE doc_id % 75 = 0),
+g AS (
+  SELECT md5(subj || pred || obj) AS gid, subj, pred, obj,
+         regexp_extract_all(lower(subj || ' ' || pred || ' ' || obj),
+                            '[a-z0-9]+') AS toks
+  FROM gen
+),
+t AS (
+  SELECT md5(subj || pred || obj) AS tid,
+         regexp_extract_all(lower(subj || ' ' || pred || ' ' || obj),
+                            '[a-z0-9]+') AS toks
+  FROM gtd
+),
+gc AS (SELECT gid, gram, count(*) AS cg
+       FROM (SELECT gid, unnest(toks) AS gram FROM g) GROUP BY gid, gram),
+tc AS (SELECT tid, gram, count(*) AS ct
+       FROM (SELECT tid, unnest(toks) AS gram FROM t) GROUP BY tid, gram),
+ov AS (SELECT gid, tid, sum(least(cg, ct)) AS ov
+       FROM gc JOIN tc USING (gram) GROUP BY gid, tid),
+scored AS (
+  SELECT ov.gid,
+         2e0 * (CAST(ov AS DOUBLE) / gs.ng) * (CAST(ov AS DOUBLE) / ts.nt)
+         / ((CAST(ov AS DOUBLE) / gs.ng) + (CAST(ov AS DOUBLE) / ts.nt)) AS f
+  FROM ov
+  JOIN (SELECT gid, len(toks) AS ng FROM g) gs USING (gid)
+  JOIN (SELECT tid, len(toks) AS nt FROM t) ts USING (tid)
+)
+SELECT g.subj, g.pred, g.obj,
+       coalesce(b.best_f, 0e0) AS best_rouge1_f
+FROM g LEFT JOIN (SELECT gid, max(f) AS best_f FROM scored GROUP BY gid) b
+  USING (gid)
+""",
+)
+def kg_metrics_rouge1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 best-match per generated triple (A4), native exprs."""
+    tr = _triples_raw(_docs(spark, sf_dir))
+    gen = tr.where(F.col("doc_id") % 50 == 0).select("subj", "pred", "obj")
+    gt = tr.where(F.col("doc_id") % 75 == 0).select("subj", "pred", "obj")
+    return metrics.rouge_n_best(gen, gt, n=1)
 
 
 # -- 10c. cosine property top-k (J3/W1) with native hash embeddings -------------

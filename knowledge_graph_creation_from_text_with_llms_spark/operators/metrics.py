@@ -62,27 +62,93 @@ def component_metrics(generated: DataFrame, ground_truth: DataFrame) -> DataFram
 
 
 def relaxed_metrics(generated: DataFrame, ground_truth: DataFrame) -> DataFrame:
-    """Containment match (metrics_generator.py:139-143): GT found iff
-    ∃ generated row with gt.subj ⊆ gen.subj ∧ gt.pred ⊆ gen.pred ∧
-    gt.obj ⊆ gen.obj (normalized substring containment)."""
-    g = _normalized(generated).select(
-        F.col("subj").alias("gs"), F.col("pred").alias("gp"), F.col("obj").alias("go")
+    """Relaxed match, verbatim reference semantics
+    (metrics_generator.py:128-157): a GT triple counts as found iff
+    some generated triple's component TUPLE contains every non-empty
+    normalized GT component as an exact member (`gt_comp in gen` on a
+    3-tuple is membership, NOT substring — position-independent).
+    Counts are over the raw (duplicate-preserving) lists, and
+    fp = len(generated) - tp without clamping, exactly as shipped."""
+    g = generated.select(
+        *[normalize_text_expr(c).alias(f"g{c}") for c in _COLS]
     )
-    t = _normalized(ground_truth)
+    t = ground_truth.select(
+        *[normalize_text_expr(c).alias(c) for c in _COLS]
+    )
+    member = lambda comp: (F.col(comp) == "") | (
+        (F.col(comp) == F.col("gsubj"))
+        | (F.col(comp) == F.col("gpred"))
+        | (F.col(comp) == F.col("gobj"))
+    )
     matched = t.join(
-        g,
-        F.col("gs").contains(F.col("subj"))
-        & F.col("gp").contains(F.col("pred"))
-        & F.col("go").contains(F.col("obj")),
-        "left_semi",
+        g, member("subj") & member("pred") & member("obj"), "left_semi"
     )
-    found = matched.count()
+    tp = matched.count()
     total_gt = t.count()
-    total_gen = _normalized(generated).count()
-    tp = found
-    fn = total_gt - found
-    fp = max(total_gen - found, 0)
+    total_gen = g.count()
+    fn = total_gt - tp
+    fp = total_gen - tp
     return _prf(generated.sparkSession, tp, fp, fn)
+
+
+def rouge_n_best(
+    generated: DataFrame, ground_truth: DataFrame, n: int = 1
+) -> DataFrame:
+    """Per distinct generated triple: the best ROUGE-N f-measure over
+    all ground-truth triples (metrics_generator.py:159-183 semantics:
+    score the space-joined triple texts, keep the max; we omit the
+    Porter stemmer — documented divergence of this test-only metric).
+
+    ROUGE-N here is the standard clipped n-gram overlap:
+      p = overlap/|gen ngrams|, r = overlap/|gt ngrams|,
+      f = 2pr/(p+r); overlap = Σ_g min(count_gen(g), count_gt(g)).
+    Computed with native explode/join/groupBy — exact, no UDF.
+    """
+    from ..functions.text import tokens_expr, word_shingles_expr
+
+    def grams(df: DataFrame, prefix: str) -> DataFrame:
+        text = F.concat_ws(" ", *[F.col(c) for c in _COLS])
+        arr = tokens_expr(text) if n == 1 else word_shingles_expr(text, n)
+        return df.select(
+            *[F.col(c).alias(f"{prefix}{c}") for c in _COLS],
+            arr.alias("_g"),
+        ).where(F.size("_g") > 0)
+
+    g = grams(generated.distinct(), "").withColumn(
+        "_gid", F.md5(F.concat_ws("", *_COLS))
+    )
+    t = grams(ground_truth.distinct(), "t_").withColumn(
+        "_tid", F.md5(F.concat_ws("", *[f"t_{c}" for c in _COLS]))
+    )
+    gc = g.select("_gid", F.explode("_g").alias("gram")).groupBy(
+        "_gid", "gram"
+    ).agg(F.count(F.lit(1)).alias("cg"))
+    tc = t.select("_tid", F.explode("_g").alias("gram")).groupBy(
+        "_tid", "gram"
+    ).agg(F.count(F.lit(1)).alias("ct"))
+    gsize = g.select("_gid", F.size("_g").alias("ng"))
+    tsize = t.select("_tid", F.size("_g").alias("nt"))
+    overlap = (
+        gc.join(tc, "gram")
+        .groupBy("_gid", "_tid")
+        .agg(F.sum(F.least("cg", "ct")).alias("ov"))
+    )
+    scored = (
+        overlap.join(gsize, "_gid")
+        .join(tsize, "_tid")
+        .withColumn("p", F.col("ov") / F.col("ng"))
+        .withColumn("r", F.col("ov") / F.col("nt"))
+        .withColumn("f", 2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r")))
+    )
+    best = scored.groupBy("_gid").agg(F.max("f").alias("best_f"))
+    return (
+        g.select("_gid", *_COLS)
+        .join(best, "_gid", "left")
+        .select(
+            *_COLS,
+            F.coalesce("best_f", F.lit(0.0)).alias(f"best_rouge{n}_f"),
+        )
+    )
 
 
 def _scalar_prf(tp: int, fp: int, fn: int) -> tuple[float, float, float]:

@@ -56,6 +56,15 @@ def main() -> None:
             # split size would give the map stages fewer input
             # partitions than cores, serializing the UDF stages
             "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            # zstd trades CPU (which scales with cores) for bytes
+            # (whose bandwidth is fixed on this shared box): parquet
+            # snapshots and shuffle blocks both shrink ~2x
+            "spark.sql.parquet.compression.codec": os.environ.get(
+                "KG_SCALE_CODEC", "zstd"
+            ),
+            "spark.io.compression.codec": os.environ.get(
+                "KG_SCALE_IO_CODEC", "zstd"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

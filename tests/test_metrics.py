@@ -34,11 +34,37 @@ def test_component_metrics(spark):
     assert rows["pred"].tp == 0
 
 
-def test_relaxed_containment(spark):
-    gen = _df(spark, [("Artificial intelligence (AI)", "is a field of", "computer science")])
-    gt = _df(spark, [("intelligence", "field of", "computer science")])
+def test_relaxed_membership(spark):
+    # reference semantics: `gt_comp in gen` is TUPLE MEMBERSHIP —
+    # position-independent exact match of each non-empty component
+    gen = _df(spark, [("Akron", "born in", "LeBron James")])
+    gt = _df(
+        spark,
+        [
+            ("LeBron James", "born in", "Akron"),   # members, swapped → TP
+            ("LeBron", "born in", "Akron"),          # substring only → no
+        ],
+    )
     m = metrics.relaxed_metrics(gen, gt).collect()[0]
-    assert m.tp == 1 and m.fn == 0  # every gt component ⊆ gen components
+    assert (m.tp, m.fn) == (1, 1)
+
+
+def test_relaxed_empty_components_skipped(spark):
+    gen = _df(spark, [("a", "b", "c")])
+    gt = _df(spark, [("", "b", "")])  # only 'b' must be a member
+    m = metrics.relaxed_metrics(gen, gt).collect()[0]
+    assert m.tp == 1
+
+
+def test_rouge1_best_match(spark):
+    gen = _df(spark, [("the cat", "sat on", "the mat"), ("zz", "qq", "ww")])
+    gt = _df(spark, [("the cat", "sat on", "a mat")])
+    rows = {(r.subj, r.pred, r.obj): r.best_rouge1_f
+            for r in metrics.rouge_n_best(gen, gt, n=1).collect()}
+    # gen1 tokens: the cat sat on the mat (6); gt: the cat sat on a mat
+    # (6); clipped overlap = the,cat,sat,on,mat = 5 → p=r=5/6, f=5/6
+    assert abs(rows[("the cat", "sat on", "the mat")] - 5 / 6) < 1e-12
+    assert rows[("zz", "qq", "ww")] == 0.0
 
 
 def test_empty_sides(spark):
