@@ -109,9 +109,10 @@ class KGPipeline:
         done = cat.committed_stages() if resume else set()
         counts: dict[str, int] = {}
 
-        if "source" not in done:
+        if "source" in done and cat.exists("source"):
+            counts["source"] = -1  # skipped (resumed)
+        else:
             counts["source"] = cat.write(source, "source", stage="source").rows
-        src = cat.read("source")
 
         plan = [
             ("chunks", lambda: self.stage_chunks(cat.read("source"))),
