@@ -76,7 +76,7 @@ def main() -> None:
 
     # -- flagship: end-to-end KG pipeline with snapshot commits ----------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    source = documents_as_source(docs)
+    source = documents_as_source(docs).repartition(cpus_used * 2)
     workdir = tempfile.mkdtemp(prefix="kgbench-", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     try:
         cat = ParquetCatalog(workdir, spark)

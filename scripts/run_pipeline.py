@@ -45,6 +45,9 @@ def main() -> int:
     ap.add_argument("--num-salts", type=int, default=16)
     ap.add_argument("--resume", action="store_true",
                     help="skip stages already committed in the catalog manifest")
+    ap.add_argument("--incremental", action="store_true",
+                    help="process only source rows not yet in the catalog "
+                         "(append per-row stages, rebuild global tables)")
     ap.add_argument("--no-verify", action="store_true",
                     help="skip the per-row sha256 invariant check")
     args = ap.parse_args()
@@ -88,7 +91,11 @@ def main() -> int:
         entity_dict=entity_dict,
         property_dict=property_dict,
     )
-    counts = pipe.run(source, resume=args.resume)
+    counts = (
+        pipe.run_incremental(source)
+        if args.incremental
+        else pipe.run(source, resume=args.resume)
+    )
     ok = True if args.no_verify else pipe.verify_invariant()
     print(json.dumps({"counts": counts, "sha256_invariant": ok}))
     return 0 if ok else 1
