@@ -22,6 +22,16 @@ def _cents(value: Column) -> Column:
     return F.round(value * 100).cast("long")
 
 
+def _epoch_us(ts_col: str) -> Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ column, independent of
+    spark.sql.session.timeZone (a cast to TIMESTAMP would interpret the
+    naive value in the session zone and shift the epoch — the driver's
+    session may not be UTC). Matches DuckDB epoch_us exactly."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_us: int = SESSION_GAP_US,
@@ -32,9 +42,7 @@ def sessionize(
     since the previous event exceeds gap_us. Returns one row per
     session: (user_id, session_idx, n_events, start_us, end_us,
     value_cents). Deterministic ordering: (ts, event_id)."""
-    # parquet stores naive timestamps (TIMESTAMP_NTZ); interpret as
-    # UTC (session tz) to get epoch micros, matching DuckDB epoch_us
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = _epoch_us(ts_col)
     base = events.select(
         F.col(user_col),
         us.alias("_us"),
@@ -85,7 +93,7 @@ def json_prop_stats(events: DataFrame, key: str = "k") -> DataFrame:
 
 def user_gap_stats(events: DataFrame) -> DataFrame:
     """Per user: inter-event gap extremes (lag window), event count."""
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = _epoch_us("ts")
     w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
     gap = us - F.lag(us).over(w)
     gaps = events.select(F.col("user_id"), gap.alias("gap_us"))
