@@ -250,6 +250,59 @@ def kg_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- 1b. HTML cleaner (S2) -----------------------------------------------------
+
+@_q(
+    "kg_clean_html",
+    f"""
+WITH base AS (
+  SELECT doc_id, {TOK} AS ws FROM documents
+), parts AS (
+  SELECT doc_id,
+         array_to_string(ws[1:len(ws)//2], ' ') AS part1,
+         array_to_string(ws[len(ws)//2+1:len(ws)], ' ') AS part2
+  FROM base WHERE len(ws) >= 2
+)
+SELECT doc_id, part1 || ' ' || part2 || ' & more' AS cleaned
+FROM parts
+""",
+)
+def kg_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end S2 check against known truth: wrap each doc's tokens
+    in nasty HTML (citation sup inside the first <p>, a NESTED table
+    carrying a decoy <p>, an entity in the second <p>, stray markup),
+    run the cleaner, and compare with the directly-computed expected
+    text. Exercises Extractor.py:52-70,127 semantics on 100% of docs."""
+    from .operators.htmlclean import clean_html_udf
+
+    docs = _docs(spark, sf_dir)
+    ws = tokens_expr("text")
+    base = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") >= 2)
+    h = (F.size("ws") / 2).cast("int")
+    parts = base.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("ws", F.lit(1), h)).alias("part1"),
+        F.concat_ws(
+            " ", F.slice("ws", h + 1, (F.size("ws") - h).cast("int"))
+        ).alias("part2"),
+    )
+    html = F.concat(
+        F.lit('<html><body><p>'),
+        F.col("part1"),
+        F.lit('<sup class="reference">['),
+        F.col("doc_id").cast("string"),
+        F.lit(']</sup></p><table><tr><td><p>noise '),
+        F.col("doc_id").cast("string"),
+        F.lit('</p></td></tr><table><tr><td>deep</td></tr></table></table><p>'),
+        F.col("part2"),
+        F.lit(' &amp; more</p><sup class="reference">stray</sup>'
+              '<div>skipped</div></body></html>'),
+    )
+    return parts.select(
+        "doc_id", clean_html_udf()(html).alias("cleaned")
+    )
+
+
 # -- 2. mention detection ------------------------------------------------------
 
 @_q(

@@ -34,6 +34,11 @@ class PipelineConfig:
     num_salts: int = 16
     backend_factory: Callable = extractor.RuleBasedBackend
     edges_partitions: int | None = None
+    # S2: run the HTML cleaner (tables/citation-sup removal, <p> join)
+    # ahead of chunking — Extractor.py:120-127 order
+    clean_html: bool = False
+    # P10: cap chunks per document (reference main.py max_chunks)
+    max_chunks: int | None = None
 
 
 STAGES = ("chunks", "raw_responses", "triples_raw", "triples_linked",
@@ -57,9 +62,16 @@ class KGPipeline:
 
     # -- individual stages -------------------------------------------------
     def stage_chunks(self, source: DataFrame) -> DataFrame:
-        return chunker.chunk_documents(
+        if self.config.clean_html:
+            from ..operators import htmlclean
+
+            source = htmlclean.clean_documents(source)
+        chunks = chunker.chunk_documents(
             source, self.config.chunk_size, self.config.chunk_unit
         )
+        if self.config.max_chunks is not None:
+            chunks = chunks.where(F.col("chunk_id") <= self.config.max_chunks)
+        return chunks
 
     def stage_responses(self, chunks: DataFrame) -> DataFrame:
         return extractor.extract_responses(chunks, self.config.backend_factory)
