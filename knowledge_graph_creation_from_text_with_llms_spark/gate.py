@@ -830,6 +830,33 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- 15b. embedding near-dup, hyperplane auto-blocking (no block column) --------
+
+@_q(
+    "dedup_embedding_neardup_lsh",
+    f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bkt
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_SQL_COS} AS cos
+FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE {_SQL_COS} >= 0.3e0
+""",
+)
+def dedup_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The guarded no-block-column path: blocking falls back to the
+    deterministic hyperplane sign code instead of a corpus cross join."""
+    return dedup.embedding_neardup_pairs(
+        _embs(spark, sf_dir), block_col=None, threshold=0.3, auto_block_bits=4
+    )
+
+
 # -- 16/17. ANN top-k --------------------------------------------------------------
 
 _SQL_ANN_BASE = f"""

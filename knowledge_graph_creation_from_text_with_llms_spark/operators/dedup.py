@@ -7,8 +7,8 @@ Four families, all shuffle-conscious:
   the only shuffle; candidate verification never cross-joins the corpus.
 - simhash: 16-bit sign-aggregated fingerprint; near-dups share
   fingerprints (or differ by few bits).
-- n-gram Jaccard: blocked pairwise Jaccard via shingle-inverted-index
-  join (block on a grouping column to bound the quadratic term).
+- n-gram Jaccard: blocked pairwise Jaccard via prefix-filtered
+  candidate generation (PPJoin-style, exact) + full-set verify.
 
 All hashing is md5-based (functions.hashing) so every operator has an
 exact DuckDB oracle.
@@ -79,6 +79,20 @@ def minhash_band_keys(
     return out
 
 
+def lsh_hot_buckets(
+    bands: DataFrame, max_bucket_size: int
+) -> DataFrame:
+    """Audit view: (band_id, band_key, bucket_size) for every LSH
+    bucket LARGER than the cap — the buckets `minhash_lsh_pairs`
+    excludes. No silent caps: count/inspect this before trusting a
+    capped run (`lsh_hot_buckets(minhash_band_keys(docs), B).count()`)."""
+    return (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket_size)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -87,15 +101,33 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Candidate pairs from shared LSH bands, verified with exact
     shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
 
-    Scale: the band self-join groups by band_key — hot buckets (boiler-
-    plate shingles) are the skew risk; AQE skew-join splits them, and
-    `num_hashes/rows_per_band` tunes bucket selectivity.
+    Scale: the band self-join groups by band_key. A hot bucket (one
+    band_key shared by d docs — boilerplate text) emits d² candidate
+    rows BEFORE the distinct, so a single 10⁶-doc bucket would emit
+    10¹² join rows; AQE splits skewed partitions but not the pair
+    blow-up itself. `max_bucket_size` drops buckets above the cap from
+    the join (the pre-aggregation is one extra count on the band rows,
+    co-partitioned with the join's own shuffle). Docs in a dropped
+    bucket can still pair through their other `num_hashes/rows_per_band`
+    bands. Groups of >cap near-identical docs are the exact-dedup
+    operator's job (`exact_duplicates` first, then LSH on survivors);
+    use `lsh_hot_buckets` to audit what a cap excluded, or pass
+    max_bucket_size=None for the uncapped join.
     """
     bands = minhash_band_keys(docs, id_col, text_col, num_hashes, rows_per_band, shingle_n)
+    if max_bucket_size is not None:
+        ok = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .select("band_id", "band_key")
+        )
+        bands = bands.join(ok, ["band_id", "band_key"])
     a = bands.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a"))
     b = bands.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b"))
     cand = (
@@ -161,37 +193,66 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.3,
 ) -> DataFrame:
-    """Blocked pairwise n-gram Jaccard: only doc pairs within the same
-    block are compared (the block bounds the quadratic blow-up; use a
-    cheap pre-cluster — source, language, simhash byte — as block)."""
+    """Blocked pairwise n-gram Jaccard, exact: only doc pairs within
+    the same block are compared (use a cheap pre-cluster — source,
+    language, simhash byte — as block), and candidates come from a
+    rarity-ordered prefix filter so high-df shingles never explode the
+    join (see inline comment for the exactness argument)."""
+    from pyspark.sql import Window
+
     sh = docs.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col),
         F.array_distinct(word_shingles_expr(text_col, shingle_n)).alias("_sh"),
     ).where(F.size("_sh") > 0)
-    # inverted index: |A ∩ B| by counting shared (block, shingle) rows —
-    # pairs with zero overlap never materialize, and no shingle ARRAY is
-    # duplicated onto O(pairs) join rows (the naive blocked
-    # array_intersect form was the bench hotspot and would be quadratic
-    # in rows×array-size at 100 TB)
-    inv = sh.select(
-        "_blk", F.col(id_col), F.explode("_sh").alias("_g")
+    # Prefix filtering (PPJoin-style, exact): order each doc's shingles
+    # by a global rarity order (df asc, shingle asc) and index only the
+    # first  n - ceil(t*n) + 1  of them. Theorem: if J(A,B) >= t then
+    # |A∩B| >= t*max(|A|,|B|), and the globally-smallest shared shingle
+    # sits within both prefixes — so the prefix join loses no qualifying
+    # pair. This replaces the full inverted index, where one shingle
+    # with document frequency df inside a block emitted O(df²) join
+    # rows; high-df shingles sort LAST and essentially never enter a
+    # prefix. Candidates are then verified exactly on the full sets.
+    inv = sh.select("_blk", F.col(id_col), F.explode("_sh").alias("_g"))
+    dfreq = inv.groupBy("_blk", "_g").agg(F.count(F.lit(1)).alias("_df"))
+    w_rank = Window.partitionBy("_blk", id_col).orderBy("_df", "_g")
+    w_all = Window.partitionBy("_blk", id_col)
+    ranked = inv.join(dfreq, ["_blk", "_g"]).select(
+        "_blk",
+        F.col(id_col),
+        "_g",
+        F.row_number().over(w_rank).alias("_r"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
     )
-    a = inv.select("_blk", F.col(id_col).alias("id_a"), "_g")
-    b = inv.select("_blk", F.col(id_col).alias("id_b"), "_g")
-    inter = (
+    # epsilon guards the float ceil from rounding t*n up past the exact
+    # integer and shortening the prefix below the safe bound
+    prefix_len = F.col("_n") - F.ceil(
+        F.lit(threshold) * F.col("_n") - F.lit(1e-9)
+    ) + F.lit(1)
+    prefix = ranked.where(F.col("_r") <= prefix_len)
+    a = prefix.select("_blk", F.col(id_col).alias("id_a"), "_g")
+    b = prefix.select("_blk", F.col(id_col).alias("id_b"), "_g")
+    cand = (
         a.join(b, ["_blk", "_g"])
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
+    full = sh.select(F.col(id_col), "_sh")
     return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        cand.join(
+            full.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            full.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
-            F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+            F.size(F.array_intersect("_sa", "_sb"))
+            / F.size(F.array_union("_sa", "_sb")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.col("jaccard"))
@@ -204,25 +265,36 @@ def embedding_neardup_pairs(
     emb_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.95,
+    auto_block_bits: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, optionally blocked."""
-    from ..functions.vectors import cosine_expr
+    """Embedding-cosine near-duplicate pairs, always blocked.
 
-    cols = [F.col(id_col), F.col(emb_col)] + (
-        [F.col(block_col).alias("_blk")] if block_col else []
-    )
-    v = vectors.select(*cols)
+    With `block_col`, pairs are compared within the caller's blocks
+    (exact within blocks). Without one, the operator blocks on a
+    deterministic hyperplane sign code of the embedding
+    (`similarity.hyperplane_bucket_expr`, `auto_block_bits` bits) —
+    the unblocked call is APPROXIMATE (a near-dup pair straddling a
+    sign boundary is missed; at cos >= 0.95 the sign pattern rarely
+    differs) but bounded: 2^bits buckets of ~|V|/2^bits rows each
+    instead of the |V|² cross join a naive default would execute.
+    """
+    from ..functions.vectors import cosine_expr
+    from .similarity import hyperplane_bucket_expr
+
+    if block_col:
+        blk = F.col(block_col)
+    else:
+        blk = hyperplane_bucket_expr(F.col(emb_col), bits=auto_block_bits)
+    v = vectors.select(F.col(id_col), F.col(emb_col), blk.alias("_blk"))
     a = v.select(
-        *( [F.col("_blk")] if block_col else [] ),
-        F.col(id_col).alias("id_a"), F.col(emb_col).alias("_ea"),
+        F.col("_blk"), F.col(id_col).alias("id_a"), F.col(emb_col).alias("_ea")
     )
     b = v.select(
-        *( [F.col("_blk")] if block_col else [] ),
-        F.col(id_col).alias("id_b"), F.col(emb_col).alias("_eb"),
+        F.col("_blk"), F.col(id_col).alias("id_b"), F.col(emb_col).alias("_eb")
     )
-    joined = a.join(b, "_blk") if block_col else a.crossJoin(b)
     return (
-        joined.where(F.col("id_a") < F.col("id_b"))
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cosine_expr(F.col("_ea"), F.col("_eb")))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.col("cos"))

@@ -58,6 +58,84 @@ def test_ngram_jaccard_blocked(spark):
     assert not any({a, b} == {1, 4} for a, b in pairs)
 
 
+def test_lsh_hot_bucket_cap_bounds_identical_doc_blowup(spark):
+    """1,000 identical docs share every LSH bucket: uncapped, the band
+    self-join would emit ~4x10^6 candidate rows (10^12 at 10^6 docs).
+    With the cap those buckets are dropped (exact dedup owns identical
+    docs) while normal-sized buckets keep pairing."""
+    boiler = "identical boilerplate text repeated across the whole crawl corpus"
+    rows = [(i, "a", boiler) for i in range(1000)]
+    rows += [(2001, "a", BASE), (2002, "a", NEAR)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5, max_bucket_size=50
+        ).collect()
+    }
+    assert (2001, 2002) in pairs  # small buckets unaffected
+    assert not any(a < 1000 and b < 1000 for a, b in pairs)  # hot bucket dropped
+    # the cap is auditable, never silent
+    from knowledge_graph_creation_from_text_with_llms_spark.operators.dedup import (
+        lsh_hot_buckets,
+        minhash_band_keys,
+    )
+
+    hot = lsh_hot_buckets(minhash_band_keys(docs), max_bucket_size=50).collect()
+    assert len(hot) == 4  # one 1000-doc bucket per band
+    assert all(r.bucket_size == 1000 for r in hot)
+
+
+def test_lsh_uncapped_mode_still_available(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            _docs(spark), jaccard_threshold=0.5, max_bucket_size=None
+        ).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_ngram_jaccard_prefix_filter_exact_vs_bruteforce(spark):
+    """Prefix filtering must lose no qualifying pair: compare against a
+    driver-side brute-force over a corpus built to stress it — one
+    boilerplate shingle shared by every doc (max df), several mid-df
+    shingles, plus unique tails."""
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    for i in range(30):
+        words = ["common", "boiler", "plate"]  # shared by all 30 docs
+        words += [vocab[i % len(vocab)], vocab[(i * 2) % len(vocab)], "mid"]
+        words += [f"unique{i}a", f"unique{i}b", f"unique{i}c"][: (i % 3) + 1]
+        rows.append((i, "blk", " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, block_col="source", threshold=0.3
+        ).collect()
+    }
+
+    # brute force in Python with the same 3-word shingles
+    def shingles(text):
+        ws = text.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(t) for i, _, t in rows}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.3:
+                    want[(a, b)] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
 def test_embedding_neardup(spark):
     vecs = spark.createDataFrame(
         [
@@ -75,3 +153,22 @@ def test_embedding_neardup(spark):
         ).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_embedding_neardup_autoblock_no_crossjoin(spark):
+    """block_col=None must hyperplane-block, not cross-join: identical
+    vectors land in the same sign bucket and pair; the plan contains a
+    bucket equi-join, not CartesianProduct/BroadcastNestedLoop."""
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, -1.0, 1.0, -1.0]),
+            (2, [0.99, -0.98, 1.01, -1.0]),  # same sign bucket, near-dup of 1
+            (3, [-1.0, 1.0, -1.0, 1.0]),     # opposite bucket
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = dedup.embedding_neardup_pairs(vecs, block_col=None, threshold=0.9)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
