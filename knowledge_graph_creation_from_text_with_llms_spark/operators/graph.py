@@ -94,6 +94,27 @@ def build_edges(triples_linked: DataFrame) -> DataFrame:
     )
 
 
+def merge_edges(prior: DataFrame, delta: DataFrame) -> DataFrame:
+    """Sum-merge two edge tables with identical schema.
+
+    Edges is a purely additive aggregate of triples (weight = row
+    count per key) and every URI column is a function of its group
+    key, so merging the prior edges snapshot with the delta's edges is
+    byte-identical to rebuilding from the union of all triples —
+    without re-reading them. This is the incremental compaction path:
+    the merge shuffles |prior edges| + |delta edges| rows instead of
+    every linked triple ever ingested.
+    """
+    return (
+        prior.unionByName(delta)
+        .groupBy(
+            "src_id", "pred_id", "dst_id", "is_literal",
+            "src_uri", "pred_uri", "dst_uri",
+        )
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )
+
+
 def build_adjacency(edges: DataFrame) -> DataFrame:
     """edges → adjacency list per source node, deterministic order."""
     return (

@@ -150,15 +150,25 @@ class KGPipeline:
 
     def run_incremental(self, new_source: DataFrame) -> dict[str, int]:
         """Process only source rows not yet in the catalog and APPEND
-        their chunks/responses/triples as new snapshots; nodes, edges
-        and adjacency are rebuilt from the full accumulated triples
-        (they are global aggregates — at 10^12 scale this rebuild is
-        the standard compaction job; the per-row stages, which dominate
-        cost, never reprocess old rows).
+        their chunks/responses/triples as new snapshots. The global
+        tables then take the cheapest correct path:
+
+        - no changed docs in the delta → edges are SUM-MERGED: prior
+          edges snapshot + the delta's own edges (graph.merge_edges),
+          reading only those two inputs — never the accumulated
+          triples. Byte-identical to a full rebuild because edges is an
+          additive aggregate.
+        - a delta doc_id that was already ingested with different
+          content RETRACTS its old version: the rebuild keeps only each
+          doc's latest content (semi-join on the current
+          (doc_id, content_sha256) set), so nodes/edges/adjacency
+          converge to exactly a from-scratch run over the live corpus.
 
         Delta detection is an anti-join on (doc_id, content_sha256):
         a re-ingested identical file is skipped; a changed file (same
-        path, new content hash) is processed again as a new row.
+        path, new content hash) is processed again as a new row. An
+        EMPTY delta rolls its snapshot commit back so latest(source)
+        keeps pointing at real data (benign no-op rerun).
         """
         cat = self.catalog
         counts: dict[str, int] = {}
@@ -166,7 +176,8 @@ class KGPipeline:
 
         if "doc_id" not in new_source.columns:
             new_source = with_ingest_columns(new_source)
-        if cat.exists("source"):
+        prior_snaps = cat.snapshots("source")
+        if prior_snaps:
             # every snapshot, not just the latest — each incremental
             # run appends only its delta, so "seen" is their union
             seen = self._read_all(cat, "source").select(
@@ -177,8 +188,10 @@ class KGPipeline:
             )
         else:
             delta = new_source
-        counts["source_delta"] = cat.write(delta, "source", stage="source").rows
-        if counts["source_delta"] == 0:
+        info = cat.write(delta, "source", stage="source")
+        counts["source_delta"] = info.rows
+        if info.rows == 0:
+            cat.drop_snapshot("source", info.snapshot_id)
             return counts
 
         # per-row stages run on the delta only, appended as snapshots
@@ -198,37 +211,99 @@ class KGPipeline:
             linked, "triples_linked", stage="triples_linked"
         ).rows
 
-        # global aggregates rebuild over ALL snapshots of triples_linked
+        # retraction check: a delta doc_id present in an OLDER source
+        # snapshot must have arrived with new content (identical pairs
+        # were anti-joined away) — its old version is now stale
+        changed = 0
+        if prior_snaps:
+            prior_ids = self._read_all(cat, "source", upto=prior_snaps).select(
+                "doc_id"
+            )
+            changed = delta_src.join(prior_ids, "doc_id", "semi").count()
+        counts["retracted_docs"] = changed
+
         all_linked = self._read_all(cat, "triples_linked")
+        if changed:
+            # keep only each doc's current content version
+            current = self._current_source_pairs(cat)
+            all_linked = all_linked.join(
+                current, ["doc_id", "content_sha256"], "semi"
+            )
         counts["nodes"] = cat.write(
             self.stage_nodes(all_linked), "nodes", stage="nodes"
         ).rows
-        counts["edges"] = cat.write(
-            self.stage_edges(all_linked), "edges", stage="edges",
-            repartition_by="src_id",
-            num_partitions=self.config.edges_partitions,
-        ).rows
+
+        prior_edges_snap = cat.latest_snapshot("edges")
+        if changed == 0 and prior_edges_snap is not None:
+            # mergeable fast path: prior edges + delta edges only
+            prior_edges = cat.read("edges", snapshot=prior_edges_snap)
+            delta_edges = self.stage_edges(cat.read("triples_linked"))
+            merged = graph.merge_edges(prior_edges, delta_edges)
+            counts["edges"] = cat.write(
+                merged, "edges", stage="edges",
+                rows_in=cat.snapshot_rows("edges", prior_edges_snap)
+                + counts["triples_linked"],
+                repartition_by="src_id",
+                num_partitions=self.config.edges_partitions,
+            ).rows
+        else:
+            counts["edges"] = cat.write(
+                self.stage_edges(all_linked), "edges", stage="edges",
+                repartition_by="src_id",
+                num_partitions=self.config.edges_partitions,
+            ).rows
         counts["adjacency"] = cat.write(
             self.stage_adjacency(cat.read("edges")), "adjacency", stage="adjacency"
         ).rows
         return counts
 
     @staticmethod
-    def _read_all(cat: ParquetCatalog, table: str) -> DataFrame:
+    def _read_all(
+        cat: ParquetCatalog, table: str, upto: list[int] | None = None
+    ) -> DataFrame:
         """Union of every committed snapshot of a table (incremental
-        appends); Iceberg equivalent: plain table read."""
-        dfs = [cat.read(table, snapshot=s) for s in cat.snapshots(table)]
+        appends); Iceberg equivalent: plain table read. `upto`
+        restricts to an explicit snapshot list (e.g. all snapshots that
+        existed before the current delta)."""
+        snaps = upto if upto is not None else cat.snapshots(table)
+        dfs = [cat.read(table, snapshot=s) for s in snaps]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
 
+    @staticmethod
+    def _current_source_pairs(cat: ParquetCatalog) -> DataFrame:
+        """(doc_id, content_sha256) of each doc's LATEST ingested
+        version — the live corpus after retractions. A doc appears in
+        exactly one snapshot per content version (delta anti-join), so
+        max_by over the snapshot id picks the current one."""
+        parts = [
+            cat.read("source", snapshot=s)
+            .select("doc_id", "content_sha256")
+            .withColumn("_snap", F.lit(s))
+            for s in cat.snapshots("source")
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("doc_id").agg(
+            F.max_by("content_sha256", "_snap").alias("content_sha256")
+        )
+
     # -- invariants ------------------------------------------------------------
     def verify_invariant(self) -> bool:
         """content_sha256 carried through chunk/extract/parse stages
-        matches the source exactly (per doc_id)."""
+        traces back to committed source content (per doc_id). Compares
+        against the union of ALL source snapshots so incremental
+        catalogs — where the latest snapshot holds only the newest
+        delta — validate their per-row delta snapshots too."""
         cat = self.catalog
-        src = cat.read("source").select("doc_id", "content_sha256").distinct()
+        src = (
+            self._read_all(cat, "source")
+            .select("doc_id", "content_sha256")
+            .distinct()
+        )
         for t in ("chunks", "raw_responses", "triples_raw"):
             got = cat.read(t).select("doc_id", "content_sha256").distinct()
             bad = got.join(src, ["doc_id", "content_sha256"], "left_anti").count()

@@ -105,12 +105,14 @@ TRIPLES_LINKED = StructType(
     ]
 )
 
+# Output of canonicalizer.salted_mention_counts (the nodes stage).
 NODES = StructType(
     [
+        StructField("canonical_key", StringType()),
         StructField("node_id", StringType()),
-        StructField("canonical_label", StringType()),
-        StructField("aliases", ArrayType(StringType())),
         StructField("n_mentions", LongType()),
+        StructField("n_docs", LongType()),
+        StructField("aliases", ArrayType(StringType())),
     ]
 )
 

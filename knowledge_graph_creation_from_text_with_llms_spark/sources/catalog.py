@@ -125,6 +125,38 @@ class ParquetCatalog:
         )
         return CommitInfo(table, snap, rows)
 
+    def drop_snapshot(self, table: str, snapshot_id: int) -> None:
+        """Roll back a committed snapshot (Iceberg equivalent:
+        rollback_to_snapshot / expire). Used by run_incremental to
+        retract an empty delta commit so latest() keeps pointing at
+        real data; audited with a 'rolled_back' manifest row."""
+        d = os.path.join(self._table_dir(table), f"snapshot={snapshot_id}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        self._append_manifest(
+            {
+                "run_id": os.environ.get("KG_RUN_ID", "local"),
+                "stage": table,
+                "status": "rolled_back",
+                "rows_in": -1,
+                "rows_out": 0,
+                "snapshot_id": snapshot_id,
+                "wall_sec": 0.0,
+                "updated_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+            }
+        )
+
+    def snapshot_rows(self, table: str, snapshot: int | None = None) -> int:
+        """Row count of a committed snapshot from parquet footers only."""
+        snap = snapshot or self.latest_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        return _parquet_rows(
+            os.path.join(self._table_dir(table), f"snapshot={snap}")
+        )
+
     def read(self, table: str, snapshot: int | None = None) -> DataFrame:
         snap = snapshot or self.latest_snapshot(table)
         if snap is None:
