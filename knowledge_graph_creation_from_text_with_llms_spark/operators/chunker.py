@@ -24,14 +24,53 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+_SENT_BREAK = re.compile(r"(?<=[.!?])\s+")
+
+# Guards that approximate NLTK punkt's learned no-break decisions
+# (the reference splits with sent_tokenize, Extractor.py:75). punkt is
+# corpus-trained; this is the deterministic subset that covers the
+# common cases — residual divergences are documented in
+# tests/test_chunker.py::test_punkt_divergence_table.
+_ABBREVIATIONS = frozenset(
+    "mr mrs ms dr prof rev gen rep sen sr jr st vs etc cf al inc ltd co "
+    "corp dept univ assn bros fig figs no nos vol vols pp ed eds approx "
+    "est min max jan feb mar apr jun jul aug sep sept oct nov dec mt".split()
+)
+_INITIAL = re.compile(r"^[A-Za-z]\.$")          # "J." in "J. Smith"
+_DOTTED_ACRONYM = re.compile(r"^(?:[A-Za-z]{1,2}\.){2,}$")  # U.S., i.e., Ph.D.
+
+
+def _is_no_break_token(token: str) -> bool:
+    """True when the token ending a candidate break is an abbreviation,
+    a single initial, or a dotted acronym — punkt would not split."""
+    if not token.endswith("."):
+        return False  # break came from ! or ? — always a boundary
+    if _INITIAL.match(token) or _DOTTED_ACRONYM.match(token):
+        return True
+    return token[:-1].lower().rstrip(".") in _ABBREVIATIONS
 
 
 def split_sentences(text: str) -> list[str]:
-    """Deterministic sentence split: break after ./!/? + whitespace."""
+    """Deterministic sentence split: break after ./!/? + whitespace,
+    except after abbreviations / initials / dotted acronyms (punkt-
+    fidelity guards). Decimal numbers (3.14) never split — the period
+    is not followed by whitespace."""
     if not text:
         return []
-    return [s for s in _SENT_SPLIT.split(text) if s]
+    out: list[str] = []
+    start = 0
+    for m in _SENT_BREAK.finditer(text):
+        prev = re.search(r"(\S+)$", text[start : m.start()])
+        if prev and _is_no_break_token(prev.group(1)):
+            continue
+        piece = text[start : m.start()]
+        if piece:
+            out.append(piece)
+        start = m.end()
+    tail = text[start:]
+    if tail:
+        out.append(tail)
+    return out
 
 
 def greedy_pack(units: list[str], chunk_size: int) -> list[str]:

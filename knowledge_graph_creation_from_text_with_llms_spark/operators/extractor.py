@@ -105,6 +105,11 @@ class HFCausalBackend(Backend):  # pragma: no cover - no GPU/weights in CI
         import torch
         self._torch = torch
         self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        # decoder-only generation: batched prompts must be LEFT-padded
+        # (right padding corrupts the continuation of shorter prompts)
+        self.tokenizer.padding_side = "left"
+        if self.tokenizer.pad_token is None:
+            self.tokenizer.pad_token = self.tokenizer.eos_token
         self.model = AutoModelForCausalLM.from_pretrained(
             model_name, torch_dtype=torch.bfloat16, low_cpu_mem_usage=True
         )
@@ -120,9 +125,18 @@ class HFCausalBackend(Backend):  # pragma: no cover - no GPU/weights in CI
         enc = self.tokenizer(prompts, return_tensors="pt", padding=True)
         with self._torch.no_grad():
             gen = self.model.generate(**enc, **self.params)
-        for i, prompt in enumerate(prompts):
-            full = self.tokenizer.decode(gen[i], skip_special_tokens=True)
-            outs.append(full[len(prompt):])  # strip prompt (ref :140-141)
+        # strip the prompt by slicing past the input token ids — robust
+        # even when decode does not reproduce the prompt text verbatim
+        # (the reference strips per-string, ref :140-141, one prompt at
+        # a time; with left padding every row's prompt ends at the same
+        # offset input_ids.shape[1])
+        prompt_len = enc["input_ids"].shape[1]
+        for i in range(len(prompts)):
+            outs.append(
+                self.tokenizer.decode(
+                    gen[i][prompt_len:], skip_special_tokens=True
+                )
+            )
         return pd.Series(outs, index=texts.index)
 
 

@@ -81,6 +81,20 @@ def link_labels(
     )
 
 
+def rank_topk(
+    per_prop: DataFrame, pred_col: str = "pred", k: int = 10
+) -> DataFrame:
+    """Deterministic ranking tail shared by topk_properties and the
+    committed-matches parity tests (Matcher.py:258-285 writes ranks in
+    score order): (similarity desc, prop_id asc) window, cut at k."""
+    w = Window.partitionBy(pred_col).orderBy(
+        F.desc("similarity"), F.asc("prop_id")
+    )
+    return per_prop.withColumn("rank_pos", F.row_number().over(w)).where(
+        F.col("rank_pos") <= k
+    )
+
+
 def topk_properties(
     predicates: DataFrame,
     property_dict: DataFrame,
@@ -120,17 +134,21 @@ def topk_properties(
             F.max("_sim").alias("similarity"),
             # _plabel is constant within a prop_id group
             F.max("_plabel").alias("label"),
-            F.max_by("alias", F.struct(F.col("_sim"), F.when(F.col("_prank") == 0, 1).otherwise(0)))
-            .alias("best_match_text"),
+            # tie-break fully deterministic: similarity, then
+            # label-beats-alias, then the alias string itself (two
+            # aliases tying at the same similarity always resolve the
+            # same way across runs)
+            F.max_by(
+                "alias",
+                F.struct(
+                    F.col("_sim"),
+                    F.when(F.col("_prank") == 0, 1).otherwise(0),
+                    F.col("alias"),
+                ),
+            ).alias("best_match_text"),
         )
     )
-    w = Window.partitionBy(pred_col).orderBy(
-        F.desc("similarity"), F.asc("prop_id")
-    )
-    return (
-        per_prop.withColumn("rank_pos", F.row_number().over(w))
-        .where(F.col("rank_pos") <= k)
-    )
+    return rank_topk(per_prop, pred_col=pred_col, k=k)
 
 
 def link_predicates(

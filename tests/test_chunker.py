@@ -33,9 +33,56 @@ def test_greedy_pack_oversized_first_unit_quirk():
 
 
 def test_split_sentences():
-    assert split_sentences("A b. C d! E?") == ["A b.", "C d!", "E?"]
+    assert split_sentences("A cat. C dog! E?") == ["A cat.", "C dog!", "E?"]
     assert split_sentences("no terminator here") == ["no terminator here"]
     assert split_sentences("") == []
+
+
+def test_split_sentences_punkt_guards():
+    """Abbreviation / initial / acronym / decimal no-break guards
+    (punkt-fidelity, Extractor.py:75 sent_tokenize)."""
+    cases = [
+        ("Dr. Smith arrived. He left.", ["Dr. Smith arrived.", "He left."]),
+        ("The U.S. economy grew. It slowed.",
+         ["The U.S. economy grew.", "It slowed."]),
+        ("J. K. Rowling wrote it. Yes.", ["J. K. Rowling wrote it.", "Yes."]),
+        ("Pi is 3.14 roughly. Next.", ["Pi is 3.14 roughly.", "Next."]),
+        ("See e.g. the appendix. Done.", ["See e.g. the appendix.", "Done."]),
+        ("She has a Ph.D. in physics. Neat.",
+         ["She has a Ph.D. in physics.", "Neat."]),
+        ("Costs rose, etc. More later.", ["Costs rose, etc. More later."]),
+        ("Really?! Yes. Sure.", ["Really?!", "Yes.", "Sure."]),
+        ("Born in 1900 A.D. in Rome. True.",
+         ["Born in 1900 A.D. in Rome.", "True."]),
+    ]
+    for text, want in cases:
+        assert split_sentences(text) == want, text
+
+
+def test_punkt_divergence_table():
+    """Documented residual divergences vs NLTK punkt (corpus-trained,
+    not reproducible deterministically). Each entry records OUR output;
+    punkt's differing behavior is noted in the comment. If one of these
+    starts passing punkt semantics after a splitter change, update the
+    table rather than deleting it."""
+    # 1. Sentence genuinely ending in an abbreviation: punkt can split
+    #    before a capitalized non-name word ("More"); we never split
+    #    after 'etc.' — chunk boundaries shift, content is identical.
+    assert split_sentences("Costs rose, etc. More later.") == [
+        "Costs rose, etc. More later."
+    ]
+    # 2. Unknown abbreviation punkt learned from its corpus (e.g.
+    #    'No. 5'): we carry a fixed list; 'no' IS on it, but corpus-
+    #    specific ones like 'viz.' are not — we split, punkt does not.
+    assert split_sentences("See viz. the notes. End.") == [
+        "See viz.",
+        "the notes.",
+        "End.",
+    ]
+    # 3. Single lowercase letter + period mid-sentence is treated as an
+    #    initial by our guard ('b.'), so no break; punkt decides from
+    #    training statistics and may split.
+    assert split_sentences("A b. C d! E?") == ["A b. C d!", "E?"]
 
 
 def test_chunk_documents_ids_one_based(spark):
