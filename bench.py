@@ -74,21 +74,36 @@ def main() -> None:
     # warm the JVM/codegen once so per-query numbers measure the plans
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    # Median of TRIALS timed repeats per query: this box is a shared
+    # VM with ±2× run-to-run wall-clock noise (measured: the identical
+    # e2e pipeline ranged 12.3–29.4 s across whole-process runs).
+    # Round 1's BENCH_r01.json was single-run; methodology change is
+    # documented in BENCH/BASELINE.md with both numbers.
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+
+    def _median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
     # -- flagship: end-to-end KG pipeline with snapshot commits ----------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     source = documents_as_source(docs).repartition(cpus_used * 2)
-    workdir = tempfile.mkdtemp(prefix="kgbench-", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
-    try:
-        cat = ParquetCatalog(workdir, spark)
-        pipe = KGPipeline(
-            spark, cat, PipelineConfig(chunk_size=120, chunk_unit="word")
-        )
-        t0 = time.time()
-        counts = pipe.run(source, resume=False)
-        pipeline_sec = time.time() - t0
-        triples = counts["triples_raw"]
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
+    e2e_secs: list[float] = []
+    for _ in range(trials):
+        workdir = tempfile.mkdtemp(prefix="kgbench-", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+        try:
+            cat = ParquetCatalog(workdir, spark)
+            pipe = KGPipeline(
+                spark, cat, PipelineConfig(chunk_size=120, chunk_unit="word")
+            )
+            t0 = time.time()
+            counts = pipe.run(source, resume=False)
+            e2e_secs.append(time.time() - t0)
+            triples = counts["triples_raw"]
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+    pipeline_sec = _median(e2e_secs)
     timings["kg_pipeline_e2e"] = round(pipeline_sec, 3)
     triples_per_sec = round(triples / pipeline_sec, 1) if pipeline_sec else 0.0
 
@@ -116,11 +131,16 @@ def main() -> None:
         "events_sessionize",
         "events_type_stats",
     ]
+    spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:
         fn = gate.QUERIES[name]
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        secs = []
+        for _ in range(trials):
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            secs.append(time.time() - t0)
+        timings[name] = round(_median(secs), 3)
+        spreads[name] = [round(s, 3) for s in secs]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -136,6 +156,8 @@ def main() -> None:
                 "triples_raw": triples,
                 "cpus": int(cpus),
                 "cpus_used": cpus_used,
+                "trials": trials,
+                "spread": spreads,
             }
         )
     )
