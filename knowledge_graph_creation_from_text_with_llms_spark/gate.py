@@ -622,6 +622,20 @@ def kg_metrics_rouge1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.rouge_n_best(gen, gt, n=1)
 
 
+@_q("kg_metrics_rougel")  # rows-only: LCS DP is not ANSI-SQL-expressible
+def kg_metrics_rougel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ROUGE-1/2/L best-match with Porter stemming (A4 complete —
+    metrics_generator.py:163's RougeScorer(use_stemmer=True) metric
+    set). Vectorized pandas-UDF pair scorer over a broadcast GT side;
+    per-pair LCS has no native/SQL form, so the driver records the
+    weaker rows-only check and tests/test_metrics.py carries the
+    hand-computed value assertions."""
+    tr = _triples_raw(_docs(spark, sf_dir))
+    gen = tr.where(F.col("doc_id") % 50 == 0).select("subj", "pred", "obj")
+    gt = tr.where(F.col("doc_id") % 75 == 0).select("subj", "pred", "obj")
+    return metrics.rouge_best_match(gen, gt, use_stemmer=True)
+
+
 # -- 10c. cosine property top-k (J3/W1) with native hash embeddings -------------
 
 def _SQL_HEMB(var: str) -> str:

@@ -14,6 +14,7 @@ Reproduces the reference's two evaluators as DataFrame joins:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -31,31 +32,71 @@ def _normalized(df: DataFrame) -> DataFrame:
 
 
 def strict_metrics(generated: DataFrame, ground_truth: DataFrame) -> DataFrame:
-    """One row: tp, fp, fn, precision, recall, f1 (triple level)."""
-    g = _normalized(generated)
-    t = _normalized(ground_truth)
-    tp = g.join(t, list(_COLS), "inner").count()
-    fp = g.join(t, list(_COLS), "left_anti").count()
-    fn = t.join(g, list(_COLS), "left_anti").count()
-    return _prf(generated.sparkSession, tp, fp, fn)
+    """One row: tp, fp, fn, precision, recall, f1 (triple level).
+
+    Single job: both distinct sets full-outer-joined once; tp/fp/fn
+    fall out of one aggregation instead of three separate join+count
+    actions (the inner/anti/anti trio re-derived each normalized frame
+    per action)."""
+    g = _normalized(generated).withColumn("_g", F.lit(1))
+    t = _normalized(ground_truth).withColumn("_t", F.lit(1))
+    row = (
+        g.join(t, list(_COLS), "full")
+        .agg(
+            F.count(F.when(F.col("_g").isNotNull() & F.col("_t").isNotNull(), 1)).alias("tp"),
+            F.count(F.when(F.col("_t").isNull(), 1)).alias("fp"),
+            F.count(F.when(F.col("_g").isNull(), 1)).alias("fn"),
+        )
+        .first()
+    )
+    return _prf(generated.sparkSession, row["tp"], row["fp"], row["fn"])
 
 
 def component_metrics(generated: DataFrame, ground_truth: DataFrame) -> DataFrame:
     """Per-component (subject/predicate/object) P/R/F1 rows, mirroring
-    metrics.py:78-115 which compares component *sets*."""
-    rows = []
-    for comp in _COLS:
-        g = generated.select(normalize_text_expr(comp).alias("v")).where(
-            F.col("v") != ""
-        ).distinct()
-        t = ground_truth.select(normalize_text_expr(comp).alias("v")).where(
-            F.col("v") != ""
-        ).distinct()
-        tp = g.join(t, "v", "inner").count()
-        fp = g.join(t, "v", "left_anti").count()
-        fn = t.join(g, "v", "left_anti").count()
-        p, r, f1 = _scalar_prf(tp, fp, fn)
-        rows.append((comp, tp, fp, fn, p, r, f1))
+    metrics.py:78-115 which compares component *sets*. One job: both
+    sides explode to (component, value) pairs, one full outer join,
+    one grouped aggregation — not 3 components × 3 actions."""
+    def pairs(df: DataFrame, marker: str) -> DataFrame:
+        stacked = df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(comp).alias("component"),
+                        normalize_text_expr(comp).alias("v"),
+                    )
+                    for comp in _COLS
+                ])
+            ).alias("p")
+        ).select("p.component", "p.v")
+        return (
+            stacked.where(F.col("v") != "")
+            .distinct()
+            .withColumn(marker, F.lit(1))
+        )
+
+    g = pairs(generated, "_g")
+    t = pairs(ground_truth, "_t")
+    counted = (
+        g.join(t, ["component", "v"], "full")
+        .groupBy("component")
+        .agg(
+            F.count(F.when(F.col("_g").isNotNull() & F.col("_t").isNotNull(), 1)).alias("tp"),
+            F.count(F.when(F.col("_t").isNull(), 1)).alias("fp"),
+            F.count(F.when(F.col("_g").isNull(), 1)).alias("fn"),
+        )
+    )
+    rows = [
+        (
+            r["component"], r["tp"], r["fp"], r["fn"],
+            *_scalar_prf(r["tp"], r["fp"], r["fn"]),
+        )
+        for r in counted.collect()
+    ]
+    # a component absent from both sides still gets a zero row
+    seen = {r[0] for r in rows}
+    rows += [(c, 0, 0, 0, 0.0, 0.0, 0.0) for c in _COLS if c not in seen]
+    rows.sort(key=lambda r: _COLS.index(r[0]))
     return generated.sparkSession.createDataFrame(
         rows, "component string, tp long, fp long, fn long, precision double, recall double, f1 double"
     )
@@ -68,24 +109,74 @@ def relaxed_metrics(generated: DataFrame, ground_truth: DataFrame) -> DataFrame:
     normalized GT component as an exact member (`gt_comp in gen` on a
     3-tuple is membership, NOT substring — position-independent).
     Counts are over the raw (duplicate-preserving) lists, and
-    fp = len(generated) - tp without clamping, exactly as shipped."""
+    fp = len(generated) - tp without clamping, exactly as shipped.
+
+    Executed as equi-joins, not a theta join: the membership test
+    decomposes into value-equality between GT components and the
+    exploded set of generated-tuple members, so Spark hash-joins on
+    the value instead of nested-looping |GT| × |generated| — the form
+    that survives a 100× corpus."""
     g = generated.select(
         *[normalize_text_expr(c).alias(f"g{c}") for c in _COLS]
     )
-    t = ground_truth.select(
-        *[normalize_text_expr(c).alias(c) for c in _COLS]
-    )
-    member = lambda comp: (F.col(comp) == "") | (
-        (F.col(comp) == F.col("gsubj"))
-        | (F.col(comp) == F.col("gpred"))
-        | (F.col(comp) == F.col("gobj"))
-    )
-    matched = t.join(
-        g, member("subj") & member("pred") & member("obj"), "left_semi"
-    )
-    tp = matched.count()
-    total_gt = t.count()
     total_gen = g.count()
+
+    # GT grouped by normalized content; multiplicity preserved for the
+    # duplicate-preserving reference counts
+    t = (
+        ground_truth.select(
+            *[normalize_text_expr(c).alias(c) for c in _COLS]
+        )
+        .groupBy(*_COLS)
+        .agg(F.count(F.lit(1)).alias("_mult"))
+        .withColumn("_n_nonempty", sum(
+            F.when(F.col(c) != "", 1).otherwise(0) for c in _COLS
+        ))
+    )
+
+    # (gid, member value) for each distinct generated tuple
+    g_vals = (
+        g.distinct()
+        .withColumn("_gid", F.md5(F.concat_ws("", "gsubj", "gpred", "gobj")))
+        .select(
+            "_gid",
+            F.explode(F.array_distinct(F.array("gsubj", "gpred", "gobj"))).alias("v"),
+        )
+    )
+    # (GT key, comp slot, value) for non-empty components
+    t_vals = t.select(
+        *_COLS, "_n_nonempty", "_mult",
+        F.posexplode(F.array(*_COLS)).alias("_slot", "v"),
+    ).where(F.col("v") != "")
+
+    # a GT row matches a generated tuple when every non-empty slot
+    # finds its value among that tuple's members
+    full_hits = (
+        t_vals.join(g_vals, "v")
+        .groupBy(*_COLS, "_gid", "_n_nonempty")
+        .agg(F.count_distinct("_slot").alias("_hit_slots"))
+        .where(F.col("_hit_slots") == F.col("_n_nonempty"))
+        .select(*_COLS)
+        .distinct()
+        .withColumn("_matched", F.lit(1))
+    )
+    agg = (
+        t.join(full_hits, list(_COLS), "left")
+        .agg(
+            F.sum("_mult").alias("total_gt"),
+            F.sum(
+                F.when(
+                    # all-empty GT rows match iff any generated row exists
+                    (F.col("_matched").isNotNull())
+                    | ((F.col("_n_nonempty") == 0) & F.lit(total_gen > 0)),
+                    F.col("_mult"),
+                ).otherwise(0)
+            ).alias("tp"),
+        )
+        .first()
+    )
+    tp = int(agg["tp"] or 0)
+    total_gt = int(agg["total_gt"] or 0)
     fn = total_gt - tp
     fp = total_gen - tp
     return _prf(generated.sparkSession, tp, fp, fn)
@@ -148,6 +239,106 @@ def rouge_n_best(
             *_COLS,
             F.coalesce("best_f", F.lit(0.0)).alias(f"best_rouge{n}_f"),
         )
+    )
+
+
+def rouge_best_match(
+    generated: DataFrame,
+    ground_truth: DataFrame,
+    use_stemmer: bool = True,
+) -> DataFrame:
+    """Per distinct generated triple: best ROUGE-1 / ROUGE-2 / ROUGE-L
+    f-measure over all GT triples — the full metric set of
+    metrics_generator.py:159-183 (RougeScorer(["rouge1","rouge2",
+    "rougeL"], use_stemmer=True) over " ".join(triple) texts).
+
+    Tokenization mirrors rouge_score: lowercase, [a-z0-9]+ tokens,
+    and with use_stemmer a Porter stem applied only to tokens longer
+    than 3 chars (functions/stemmer.py — classic 1980 algorithm; the
+    reference's NLTK_EXTENSIONS-mode divergences are documented
+    there). ROUGE-L needs an LCS per pair, which has no native
+    expression — scored in one vectorized pandas UDF over the
+    broadcast GT side (GT is the small evaluation set by
+    construction; this is a test-only metric, same as the reference's).
+    """
+    import re as _re
+
+    from pyspark.sql.types import (
+        DoubleType, StructField, StructType
+    )
+
+    from ..functions.stemmer import porter_stem
+
+    def _toks(text: str) -> list[str]:
+        toks = _re.findall(r"[a-z0-9]+", (text or "").lower())
+        if use_stemmer:
+            toks = [porter_stem(t) if len(t) > 3 else t for t in toks]
+        return toks
+
+    def _counts(toks: list[str]) -> dict:
+        d: dict = {}
+        for t in toks:
+            d[t] = d.get(t, 0) + 1
+        return d
+
+    def _f(overlap: int, n_gen: int, n_gt: int) -> float:
+        if not overlap or not n_gen or not n_gt:
+            return 0.0
+        p, r = overlap / n_gen, overlap / n_gt
+        return 2 * p * r / (p + r)
+
+    def _lcs(a: list[str], b: list[str]) -> int:
+        if not a or not b:
+            return 0
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+            prev = cur
+        return prev[-1]
+
+    def _score_pair(gen_toks, gt_toks) -> tuple[float, float, float]:
+        g1, t1 = _counts(gen_toks), _counts(gt_toks)
+        ov1 = sum(min(c, t1.get(k, 0)) for k, c in g1.items())
+        gen2 = list(zip(gen_toks, gen_toks[1:]))
+        gt2 = list(zip(gt_toks, gt_toks[1:]))
+        g2, t2 = _counts(gen2), _counts(gt2)
+        ov2 = sum(min(c, t2.get(k, 0)) for k, c in g2.items())
+        return (
+            _f(ov1, len(gen_toks), len(gt_toks)),
+            _f(ov2, len(gen2), len(gt2)),
+            _f(_lcs(gen_toks, gt_toks), len(gen_toks), len(gt_toks)),
+        )
+
+    out_type = StructType([
+        StructField("rouge1", DoubleType()),
+        StructField("rouge2", DoubleType()),
+        StructField("rougeL", DoubleType()),
+    ])
+
+    @F.pandas_udf(out_type)
+    def _score(gen_text: pd.Series, gt_text: pd.Series) -> pd.DataFrame:
+        rows = [
+            _score_pair(_toks(g), _toks(t))
+            for g, t in zip(gen_text, gt_text)
+        ]
+        return pd.DataFrame(rows, columns=["rouge1", "rouge2", "rougeL"])
+
+    text_of = F.concat_ws(" ", *[F.col(c) for c in _COLS])
+    g = generated.select(*_COLS).distinct().withColumn("_gtext", text_of)
+    t = ground_truth.select(
+        text_of.alias("_ttext")
+    ).distinct()
+    # left join so generated rows survive an empty GT (best = 0.0,
+    # matching the reference's inner-loop-over-nothing behavior)
+    scored = g.join(F.broadcast(t), F.lit(True), "left").withColumn(
+        "_s", _score(F.col("_gtext"), F.col("_ttext"))
+    )
+    return scored.groupBy(*_COLS).agg(
+        F.coalesce(F.max("_s.rouge1"), F.lit(0.0)).alias("best_rouge1_f"),
+        F.coalesce(F.max("_s.rouge2"), F.lit(0.0)).alias("best_rouge2_f"),
+        F.coalesce(F.max("_s.rougeL"), F.lit(0.0)).alias("best_rougeL_f"),
     )
 
 

@@ -72,3 +72,118 @@ def test_empty_sides(spark):
     gt = _df(spark, [("A", "b", "C")])
     m = metrics.strict_metrics(empty, gt).collect()[0]
     assert (m.tp, m.precision, m.recall) == (0, 0.0, 0.0)
+
+
+def test_relaxed_equijoin_matches_bruteforce(spark):
+    """The equi-join decomposition reproduces the reference's
+    double-loop membership semantics on a randomized corpus with
+    duplicates and empty components."""
+    import random
+
+    from knowledge_graph_creation_from_text_with_llms_spark.functions.text import (
+        normalize_text_expr,  # noqa: F401 (normalization parity lives in the op)
+    )
+
+    rng = random.Random(7)
+    vocab = ["Alpha", "beta!", "Gamma", "delta", "", "Epsilon", "zeta"]
+    gen = [tuple(rng.choice(vocab) for _ in range(3)) for _ in range(40)]
+    gt = [tuple(rng.choice(vocab) for _ in range(3)) for _ in range(25)]
+    gt += gt[:5]  # duplicates preserved in counts
+
+    def norm(s):
+        import re
+
+        return re.sub(r"[^a-z0-9 ]", "", s.lower()).strip()
+
+    gen_n = [tuple(norm(c) for c in t) for t in gen]
+    gt_n = [tuple(norm(c) for c in t) for t in gt]
+    tp = sum(
+        1
+        for t in gt_n
+        if any(all(c == "" or c in g for c in t) for g in gen_n)
+    )
+    fn = len(gt_n) - tp
+    fp = len(gen_n) - tp
+
+    m = metrics.relaxed_metrics(_df(spark, gen), _df(spark, gt)).collect()[0]
+    assert (m.tp, m.fp, m.fn) == (tp, fp, fn)
+
+
+def test_relaxed_all_empty_gt_row(spark):
+    # a GT row whose every component normalizes to "" matches iff any
+    # generated row exists (vacuous membership, reference semantics)
+    gen = _df(spark, [("A", "is", "B")])
+    gt = _df(spark, [("!!", "??", "--")])
+    m = metrics.relaxed_metrics(gen, gt).collect()[0]
+    assert (m.tp, m.fn) == (1, 0)
+    m2 = metrics.relaxed_metrics(_df(spark, []), gt).collect()[0]
+    assert (m2.tp, m2.fn) == (0, 1)
+
+
+def test_porter_stem_canonical():
+    from knowledge_graph_creation_from_text_with_llms_spark.functions.stemmer import (
+        porter_stem,
+    )
+
+    # full-pipeline outputs from Martin Porter's published test pairs
+    assert porter_stem("caresses") == "caress"
+    assert porter_stem("sensational") == "sensat"
+    assert porter_stem("traditional") == "tradit"
+    assert porter_stem("reference") == "refer"
+    assert porter_stem("plotted") == "plot"
+    assert porter_stem("generalization") == "gener"
+    assert porter_stem("university") == "univers"
+    assert porter_stem("agreed") == "agre"
+    # NLTK_EXTENSIONS divergence, documented: classic 1980 gives "di"
+    assert porter_stem("dies") == "di"
+
+
+def test_rouge_best_match_hand_values(spark):
+    gen = _df(spark, [("the cat", "sat", "mat")])
+    gt = _df(spark, [("the cat", "sat on", "the mat")])
+    row = metrics.rouge_best_match(gen, gt, use_stemmer=False).collect()[0]
+    # gen tokens: [the, cat, sat, mat]; gt: [the, cat, sat, on, the, mat]
+    # rouge1 overlap=4 (the,cat,sat,mat clipped) → p=1, r=4/6
+    assert abs(row.best_rouge1_f - 2 * 1 * (4 / 6) / (1 + 4 / 6)) < 1e-12
+    # bigrams gen: (the,cat)(cat,sat)(sat,mat); gt has (the,cat)(cat,sat)
+    # → ov=2, p=2/3, r=2/5
+    p2, r2 = 2 / 3, 2 / 5
+    assert abs(row.best_rouge2_f - 2 * p2 * r2 / (p2 + r2)) < 1e-12
+    # LCS(the cat sat mat, the cat sat on the mat) = 4 → same as rouge1
+    assert abs(row.best_rougeL_f - row.best_rouge1_f) < 1e-12
+
+
+def test_rouge_best_match_stemming_and_empty_gt(spark):
+    gen = _df(spark, [("running", "connection", "happily")])
+    gt = _df(spark, [("runs", "connections", "happy")])
+    # stemmed: run/connect/happili vs run/connect/happi → 2 of 3 unigrams
+    row = metrics.rouge_best_match(gen, gt, use_stemmer=True).collect()[0]
+    assert abs(row.best_rouge1_f - 2 / 3) < 1e-12
+    # empty GT: every generated row survives with 0.0 scores
+    rows = metrics.rouge_best_match(gen, _df(spark, []), use_stemmer=True).collect()
+    assert len(rows) == 1 and rows[0].best_rouge1_f == 0.0
+
+
+def test_rouge_best_match_agrees_with_native_rouge1(spark):
+    gen = _df(
+        spark,
+        [("Alan Turing", "worked at", "Bletchley Park"),
+         ("Turing", "proposed", "the imitation game"),
+         ("AI", "is", "a field of computer science")],
+    )
+    gt = _df(
+        spark,
+        [("Alan Turing", "worked", "Bletchley"),
+         ("the imitation game", "proposed by", "Turing")],
+    )
+    new = {
+        tuple(r[c] for c in ("subj", "pred", "obj")): r.best_rouge1_f
+        for r in metrics.rouge_best_match(gen, gt, use_stemmer=False).collect()
+    }
+    old = {
+        tuple(r[c] for c in ("subj", "pred", "obj")): r.best_rouge1_f
+        for r in metrics.rouge_n_best(gen, gt, n=1).collect()
+    }
+    assert set(new) == set(old)
+    for k in new:
+        assert abs(new[k] - old[k]) < 1e-12, k
