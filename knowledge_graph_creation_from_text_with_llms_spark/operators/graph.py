@@ -115,17 +115,47 @@ def merge_edges(prior: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
-def build_adjacency(edges: DataFrame) -> DataFrame:
-    """edges → adjacency list per source node, deterministic order."""
+def build_adjacency(edges: DataFrame, max_degree: int | None = None) -> DataFrame:
+    """edges → adjacency list per source node, deterministic order.
+
+    max_degree bounds the collected neighbor array for hub nodes — at
+    100× a single celebrity entity otherwise becomes one giant row
+    that can't fit an executor. Capped rows keep the heaviest
+    max_degree neighbors (weight desc, then (pred_id, dst_id) for
+    determinism); out_degree still reports the TRUE degree and
+    `truncated` marks capped nodes, so nothing is silently lost.
+    Default None preserves the exact uncapped output."""
+    if max_degree is None:
+        return (
+            edges.repartition(F.col("src_id"))
+            .groupBy(F.col("src_id").alias("node_id"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pred_id", "dst_id"))
+                ).alias("out"),
+                F.count(F.lit(1)).cast("int").alias("out_degree"),
+            )
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("weight").desc(), "pred_id", "dst_id"
+    )
+    ranked = edges.withColumn("_rank", F.row_number().over(w))
     return (
-        edges.repartition(F.col("src_id"))
-        .groupBy(F.col("src_id").alias("node_id"))
+        ranked.groupBy(F.col("src_id").alias("node_id"))
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("pred_id", "dst_id"))
+                F.collect_list(
+                    F.when(
+                        F.col("_rank") <= max_degree,
+                        F.struct("pred_id", "dst_id"),
+                    )
+                )
             ).alias("out"),
             F.count(F.lit(1)).cast("int").alias("out_degree"),
         )
+        .withColumn("truncated", F.col("out_degree") > F.lit(max_degree))
     )
 
 

@@ -85,3 +85,26 @@ def test_turtle_lines(spark):
     assert len(lines) == 3
     assert all(l.endswith(" .") for l in lines)
     assert any('"the best team"' in l for l in lines)
+
+
+def test_adjacency_degree_cap(spark):
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("hub", "p", f"n{i:02d}", False, "u", "u", "u", 10 - i) for i in range(5)]
+        + [("leaf", "p", "x", False, "u", "u", "u", 1)],
+        "src_id string, pred_id string, dst_id string, is_literal boolean,"
+        "src_uri string, pred_uri string, dst_uri string, weight long",
+    )
+    rows = {r.node_id: r for r in graph.build_adjacency(edges, max_degree=3).collect()}
+    hub = rows["hub"]
+    # heaviest 3 kept (weights 10,9,8 → n00,n01,n02), true degree reported
+    assert [o.dst_id for o in hub.out] == ["n00", "n01", "n02"]
+    assert hub.out_degree == 5 and hub.truncated
+    leaf = rows["leaf"]
+    assert leaf.out_degree == 1 and not leaf.truncated and len(leaf.out) == 1
+    # uncapped output unchanged by the new parameter's default
+    uncapped = {r.node_id: r for r in graph.build_adjacency(edges).collect()}
+    assert len(uncapped["hub"].out) == 5 and "truncated" not in uncapped["hub"].asDict()
