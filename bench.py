@@ -130,6 +130,15 @@ def main() -> None:
         "kg_topk_properties",
         "events_sessionize",
         "events_type_stats",
+        # round-2 additions (appended so the r01 set stays comparable)
+        "code_strip_comments",
+        "code_identifiers",
+        "code_license",
+        "code_line_stats",
+        "text_repetition",
+        "pii_scrub",
+        "kg_clean_html",
+        "dedup_embedding_neardup_lsh",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

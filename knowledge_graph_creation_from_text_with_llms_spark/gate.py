@@ -1158,3 +1158,309 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_gap_us",
         "max_gap_us",
     )
+
+
+# -- 14. code-aware corpus operators (source-code input_hint shape) -----------
+#
+# The engine's north-rule input is a source-code table (repo, path,
+# commit, lang, content). These gates synthesize deterministic
+# code-shaped content from the documents table — identical string
+# construction on both sides — and test the codestats operator family.
+
+from .operators import codestats  # noqa: E402
+
+
+def _code_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (doc_id, lang, content) code corpus derived from
+    documents: license header, block/line comments, snake_case +
+    camelCase identifiers, duplicated lines — every feature the code
+    operators must handle, reproducible in SQL (see _SQL_CODE)."""
+    d = _docs(spark, sf_dir)
+    nl = F.lit("\n")
+    ws = F.split(F.col("text"), " ")
+    t1 = ws.getItem(0)
+    t2 = F.coalesce(ws.getItem(1), F.lit("val"))
+    cap2 = F.concat(F.upper(F.substring(t2, 1, 1)), F.substring(t2, 2, 1 << 20))
+    m3 = F.col("doc_id") % 3
+    lang = (
+        F.when(m3 == 0, "python").when(m3 == 1, "c").otherwise("java")
+    )
+    m5 = F.col("doc_id") % 5
+    lic = (
+        F.when(m5 == 0, "Permission is hereby granted, free of charge to any person.\n")
+        .when(m5 == 1, "Licensed under the Apache License, Version 2.0.\n")
+        .when(m5 == 2, "This program is covered by the GNU General Public License.\n")
+        .otherwise("")
+    )
+    cm = F.when(m3 == 0, "# ").otherwise("// ")
+    block = F.when(m3 == 0, "").otherwise(
+        F.concat(F.lit("/* helper block for "), t1, F.lit(" */\n"))
+    )
+    dup = F.when(
+        F.col("doc_id") % 4 == 0, "    x = 1\n    x = 1\n"
+    ).otherwise("")
+    content = F.concat(
+        lic, block,
+        cm, F.lit("helper for "), F.substring("text", 1, 30), nl,
+        F.lit("def "), t1, F.lit("_"), t2, F.lit("2x(arg):"), nl,
+        F.lit("    "), t1, cap2, F.lit("Value = arg"), nl,
+        dup, nl,
+        F.lit("    return "), t1, cap2, F.lit("Value"), nl,
+    )
+    return d.select("doc_id", lang.alias("lang"), content.alias("content"))
+
+
+_SQL_CODE = """code AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'python'
+              WHEN doc_id % 3 = 1 THEN 'c' ELSE 'java' END AS lang,
+         (CASE WHEN doc_id % 5 = 0 THEN 'Permission is hereby granted, free of charge to any person.' || chr(10)
+               WHEN doc_id % 5 = 1 THEN 'Licensed under the Apache License, Version 2.0.' || chr(10)
+               WHEN doc_id % 5 = 2 THEN 'This program is covered by the GNU General Public License.' || chr(10)
+               ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN ''
+                  ELSE '/* helper block for ' || t1 || ' */' || chr(10) END)
+         || cm || 'helper for ' || substr(text, 1, 30) || chr(10)
+         || 'def ' || t1 || '_' || t2 || '2x(arg):' || chr(10)
+         || '    ' || t1 || cap2 || 'Value = arg' || chr(10)
+         || (CASE WHEN doc_id % 4 = 0
+                  THEN '    x = 1' || chr(10) || '    x = 1' || chr(10)
+                  ELSE '' END)
+         || chr(10)
+         || '    return ' || t1 || cap2 || 'Value' || chr(10) AS content
+  FROM (
+    SELECT doc_id, text, ws[1] AS t1,
+           coalesce(ws[2], 'val') AS t2,
+           upper(substr(coalesce(ws[2], 'val'), 1, 1))
+             || substr(coalesce(ws[2], 'val'), 2) AS cap2,
+           CASE WHEN doc_id % 3 = 0 THEN '# ' ELSE '// ' END AS cm
+    FROM (SELECT doc_id, text, str_split(text, ' ') AS ws FROM documents)
+  )
+)"""
+
+# comment stripping, SQL side (RE2 'g' flag; same regexes as the op)
+_SQL_STRIP = r"""CASE WHEN lang = 'python'
+      THEN regexp_replace(content, '#[^\n]*', '', 'g')
+      ELSE regexp_replace(regexp_replace(content, '/\*[\s\S]*?\*/', '', 'g'),
+                          '//[^\n]*', '', 'g') END"""
+
+
+@_q(
+    "code_strip_comments",
+    f"""
+WITH {_SQL_CODE}
+SELECT doc_id, {_SQL_STRIP} AS content_nocomments FROM code
+""",
+)
+def code_strip_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical comment removal per language family (codestats)."""
+    code = _code_docs(spark, sf_dir)
+    return codestats.strip_comments(code).select("doc_id", "content_nocomments")
+
+
+@_q(
+    "code_identifiers",
+    rf"""
+WITH {_SQL_CODE},
+stripped AS (SELECT doc_id, {_SQL_STRIP} AS c FROM code),
+idents AS (
+  SELECT doc_id, unnest(regexp_extract_all(c, '([A-Za-z_][A-Za-z0-9_]*)', 1)) AS ident
+  FROM stripped
+),
+splitc AS (
+  SELECT doc_id, ident,
+         list_filter(str_split(lower(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(ident, '_', ' ', 'g'),
+             '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+             '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+             '([A-Za-z])([0-9])', '\1 \2', 'g'),
+             '([0-9])([A-Za-z])', '\1 \2', 'g')), ' '),
+           x -> x != '') AS subs
+  FROM idents
+)
+SELECT DISTINCT doc_id, ident, subtoken
+FROM (SELECT doc_id, ident, unnest(subs) AS subtoken FROM splitc)
+""",
+)
+def code_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier extraction + snake/camel/acronym/digit sub-token
+    split, distinct vocabulary rows."""
+    code = _code_docs(spark, sf_dir)
+    out = codestats.extract_identifiers(code)
+    return out.select(
+        "doc_id", "ident", F.explode("subtokens").alias("subtoken")
+    ).distinct()
+
+
+@_q(
+    "code_license",
+    f"""
+WITH {_SQL_CODE}
+SELECT license, CAST(count(*) AS BIGINT) AS n_files FROM (
+  SELECT CASE
+    WHEN contains(h, 'apache license') THEN 'Apache-2.0'
+    WHEN contains(h, 'licensed under the apache') THEN 'Apache-2.0'
+    WHEN contains(h, 'gnu general public license') THEN 'GPL'
+    WHEN contains(h, 'gnu lesser general public license') THEN 'LGPL'
+    WHEN contains(h, 'mozilla public license') THEN 'MPL-2.0'
+    WHEN contains(h, 'mit license') THEN 'MIT'
+    WHEN contains(h, 'permission is hereby granted, free of charge') THEN 'MIT'
+    WHEN contains(h, 'redistribution and use in source and binary forms') THEN 'BSD'
+    WHEN contains(h, 'creative commons') THEN 'CC'
+    WHEN contains(h, 'unlicense') THEN 'Unlicense'
+    ELSE 'unknown' END AS license
+  FROM (SELECT lower(substr(content, 1, {codestats.LICENSE_HEAD_CHARS})) AS h FROM code)
+) GROUP BY license
+""",
+)
+def code_license(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License marker detection over file heads, per-license counts."""
+    code = _code_docs(spark, sf_dir)
+    return (
+        codestats.detect_license(code)
+        .groupBy("license")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+    )
+
+
+@_q(
+    "code_line_stats",
+    f"""
+WITH {_SQL_CODE}
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(blank AS BIGINT) AS n_blank_lines,
+       CAST(cmt AS BIGINT) AS n_comment_lines,
+       CAST(blank AS DOUBLE) / n_lines AS blank_fraction,
+       CAST(len(nonblank) - len(list_distinct(nonblank)) AS DOUBLE)
+         / greatest(len(nonblank), 1) AS dup_line_fraction,
+       CAST(total_len AS DOUBLE) / n_lines AS avg_line_len,
+       CAST(greatest(list_aggregate(lens, 'max'), 0) AS BIGINT) AS max_line_len
+FROM (
+  SELECT doc_id, len(lines) AS n_lines,
+         len(list_filter(trimmed, x -> x = '')) AS blank,
+         len(list_filter(trimmed,
+             x -> x != '' AND starts_with(x, pref))) AS cmt,
+         list_filter(trimmed, x -> x != '') AS nonblank,
+         list_transform(lines, x -> length(x)) AS lens,
+         list_aggregate(list_transform(lines, x -> CAST(length(x) AS BIGINT)), 'sum') AS total_len
+  FROM (
+    SELECT doc_id, lines, list_transform(lines, x -> trim(x)) AS trimmed,
+           CASE WHEN lang = 'python' THEN '#' ELSE '//' END AS pref
+    FROM (SELECT doc_id, lang, str_split(content, chr(10)) AS lines FROM code)
+  )
+)
+""",
+)
+def code_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file line metrics (counts, blank/dup fractions, lengths)."""
+    code = _code_docs(spark, sf_dir)
+    return codestats.code_line_stats(code)
+
+
+@_q(
+    "text_repetition",
+    f"""
+WITH toks AS (SELECT doc_id, {TOK} AS ws FROM documents),
+g2 AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, len(ws) - 1 AS total
+  FROM toks, unnest(generate_series(1, len(ws) - 1)) AS s(i)
+  WHERE len(ws) >= 2
+),
+c2 AS (
+  SELECT doc_id, max(c) AS best, any_value(total) AS total
+  FROM (SELECT doc_id, g, count(*) AS c, any_value(total) AS total
+        FROM g2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g,
+         len(ws) - 2 AS total
+  FROM toks, unnest(generate_series(1, len(ws) - 2)) AS s(i)
+  WHERE len(ws) >= 3
+),
+c3 AS (
+  SELECT doc_id, max(c) AS best, any_value(total) AS total
+  FROM (SELECT doc_id, g, count(*) AS c, any_value(total) AS total
+        FROM g3 GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(CAST(c2.best AS DOUBLE) / greatest(c2.total, 1), 0e0) AS top_bigram_fraction,
+       coalesce(CAST(c3.best AS DOUBLE) / greatest(c3.total, 1), 0e0) AS top_trigram_fraction
+FROM documents d LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style top-n-gram repetition fractions (map-only on the
+    Spark side: sorted-array longest-run aggregate, no shuffle; the
+    oracle takes the shuffle-based unnest/groupBy route — same
+    values)."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+_SQL_PII_DOCS = """pdocs AS (
+  SELECT doc_id, text
+    || (CASE WHEN doc_id % 3 = 0
+        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0
+        THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 up'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0
+        THEN ' call +1 (555) 123-4567 now' ELSE '' END) AS text
+  FROM documents
+)"""
+
+
+@_q(
+    "pii_scrub",
+    rf"""
+WITH {_SQL_PII_DOCS},
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', 0)) AS BIGINT) AS n_email,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t
+  FROM pdocs
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b', 0)) AS BIGINT) AS n_ip,
+         regexp_replace(t, '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b', '<IP>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ip,
+         CAST(len(regexp_extract_all(t, '\+[0-9][0-9 ()./-]{{6,18}}[0-9]', 0)) AS BIGINT) AS n_phone,
+         regexp_replace(t, '\+[0-9][0-9 ()./-]{{6,18}}[0-9]', '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, t AS text_scrubbed, n_email, n_ip, n_phone FROM s3
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with typed placeholders + per-kind audit counts
+    over documents with deterministically injected emails/IPs/phone
+    numbers."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ptext = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" server 10.0."), (did % 256).cast("string"),
+                F.lit(".1 up"),
+            ),
+        ).otherwise(""),
+        F.when(did % 11 == 0, " call +1 (555) 123-4567 now").otherwise(""),
+    )
+    return textstats.scrub_pii(d.select("doc_id", ptext.alias("text")))

@@ -142,3 +142,81 @@ def fingerprints(
         F.countDistinct("fp").alias("n_fingerprints"),
         F.min("fp").alias("min_fingerprint"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    all word bigrams / trigrams taken by the single most frequent one
+    (boilerplate and degenerate generations score high). Map-only:
+    the n-gram mode is found by sorting the n-gram array and taking
+    the longest equal-run with one aggregate — no per-(doc, gram)
+    shuffle, so the plan is a projection at any corpus size."""
+    toks = tokens_expr(text_col)
+
+    def top_fraction(n: int) -> Column:
+        grams = F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        s = F.array_sort(grams)
+        best = F.aggregate(
+            s,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+        )["best"]
+        return (
+            best.cast("double") / F.greatest(F.size(grams), F.lit(1))
+        )
+
+    return docs.select(
+        F.col(id_col),
+        top_fraction(2).alias("top_bigram_fraction"),
+        top_fraction(3).alias("top_trigram_fraction"),
+    )
+
+
+# -- PII scrubbing ---------------------------------------------------------
+
+# deliberately conservative, RE2-compatible patterns (no lookaround)
+# so the DuckDB oracle runs the same regexes
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()./-]{6,18}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text_scrubbed, n_email, n_ip, n_phone): PII spans replaced
+    by typed placeholder tokens, with per-kind counts for audit. Pure
+    regexp projection; patterns applied in declaration order (emails
+    first so their digits can't look like phone numbers)."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for kind, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return docs.select(
+        F.col(id_col), scrubbed.alias("text_scrubbed"), *counts
+    )
