@@ -1464,3 +1464,82 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(did % 11 == 0, " call +1 (555) 123-4567 now").otherwise(""),
     )
     return textstats.scrub_pii(d.select("doc_id", ptext.alias("text")))
+
+
+# -- 15. composed corpus quality filter ---------------------------------------
+
+
+@_q(
+    "corpus_filter",
+    f"""
+WITH langs(lang, markers) AS (VALUES {{LANGVALS}}),
+lscores AS (
+  SELECT d.doc_id, l.lang,
+         len(list_filter({TOK}, t -> list_contains(l.markers, t))) AS score
+  FROM documents d CROSS JOIN langs l
+), lranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM lscores
+), plang AS (
+  SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS predicted_lang
+  FROM lranked WHERE rn = 1
+), base AS (
+  SELECT doc_id, text, {TOK} AS toks,
+         length(text) AS n_chars,
+         len({TOK}) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter({TOK},
+             t -> list_contains(['the','of','and','a','to','in','is'], t))) AS n_stop
+  FROM documents
+), quality AS (
+  SELECT doc_id, n_tokens,
+    0.4e0 * least(n_chars / 500.0e0, 1.0e0)
+      + 0.3e0 * (CASE WHEN n_tokens > 0
+                 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens ELSE 0e0 END)
+      + 0.2e0 * (1 - (CASE WHEN n_chars > 0
+                 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0e0 END))
+      + 0.1e0 * least((CASE WHEN n_tokens > 0
+                 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0e0 END) * 5, 1.0e0)
+      AS quality_score
+  FROM base
+), g2 AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, len(ws) - 1 AS total
+  FROM (SELECT doc_id, {TOK} AS ws FROM documents),
+       unnest(generate_series(1, len(ws) - 1)) AS s(i)
+  WHERE len(ws) >= 2
+), c2 AS (
+  SELECT doc_id, max(c) AS best, any_value(total) AS total
+  FROM (SELECT doc_id, g, count(*) AS c, any_value(total) AS total
+        FROM g2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+), joined AS (
+  SELECT d.doc_id, p.predicted_lang,
+         CAST(q.n_tokens AS BIGINT) AS n_tokens,
+         q.quality_score,
+         coalesce(CAST(c2.best AS DOUBLE) / greatest(c2.total, 1), 0e0)
+           AS top_bigram_fraction
+  FROM documents d
+  JOIN plang p USING (doc_id)
+  JOIN quality q USING (doc_id)
+  LEFT JOIN c2 USING (doc_id)
+), reasons AS (
+  SELECT *,
+    list_filter([
+      CASE WHEN predicted_lang NOT IN ('en') THEN 'lang' END,
+      CASE WHEN n_tokens < 5 THEN 'too_short' END,
+      CASE WHEN quality_score < 0.5e0 THEN 'low_quality' END,
+      CASE WHEN top_bigram_fraction > 0.5e0 THEN 'repetitive' END
+    ], x -> x IS NOT NULL) AS rl
+  FROM joined
+)
+SELECT doc_id, predicted_lang, n_tokens, quality_score, top_bigram_fraction,
+       len(rl) = 0 AS keep,
+       coalesce(array_to_string(rl, ','), '') AS drop_reasons
+FROM reasons
+""".replace("{LANGVALS}", _lang_sql_values()),
+)
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep/drop quality gate: language + quality + repetition
+    evaluated in one shuffle-free projection with auditable reasons."""
+    return textstats.corpus_filter(_docs(spark, sf_dir))

@@ -28,12 +28,9 @@ def _marker_score(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def language_id(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(id, predicted_lang, score): argmax of per-language marker
-    counts; ties broken by language code order (deterministic).
-    'und' when no marker hits."""
+def language_best_expr(text_col: str) -> Column:
+    """struct(score, lang) of the winning language: argmax of marker
+    counts, ties broken by language code order (deterministic)."""
     toks = tokens_expr(text_col)
     scores = F.array(
         *[
@@ -46,7 +43,7 @@ def language_id(
     )
     # max over (score, reversed-lang) — we want max score, then FIRST
     # lang alphabetically, so sort desc by score, asc by lang
-    best = F.aggregate(
+    return F.aggregate(
         scores,
         F.struct(F.lit(-1).alias("score"), F.lit("zzz").alias("lang")),
         lambda acc, s: F.when(
@@ -55,6 +52,19 @@ def language_id(
             s,
         ).otherwise(acc),
     )
+
+
+def predicted_lang_expr(text_col: str) -> Column:
+    best = language_best_expr(text_col)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def language_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, predicted_lang, score): argmax of per-language marker
+    counts; 'und' when no marker hits."""
+    best = language_best_expr(text_col)
     return docs.select(
         F.col(id_col),
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
@@ -64,13 +74,10 @@ def language_id(
     )
 
 
-def quality_scores(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Length / punctuation / stopword-ratio quality features plus a
-    composite score in [0,1]. Formula is arbitrary-but-fixed: the value
-    is the *pipeline* (filter pushdown on a computed column), not the
-    scholarship."""
+def quality_exprs(text_col: str) -> dict[str, Column]:
+    """Named quality-signal expressions over one text column. Formula
+    is arbitrary-but-fixed: the value is the *pipeline* (filter
+    pushdown on a computed column), not the scholarship."""
     t = F.col(text_col)
     toks = tokens_expr(text_col)
     n_chars = F.length(t)
@@ -88,14 +95,30 @@ def quality_scores(
         0.4 * len_score + 0.3 * distinct_ratio + 0.2 * (1 - punct_ratio)
         + 0.1 * F.least(stop_ratio * 5, F.lit(1.0))
     )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_punct": n_punct,
+        "distinct_ratio": distinct_ratio,
+        "stop_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features plus a
+    composite score in [0,1]."""
+    q = quality_exprs(text_col)
     return docs.select(
         F.col(id_col),
-        n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        n_punct.cast("long").alias("n_punct"),
-        distinct_ratio.alias("distinct_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        score.alias("quality_score"),
+        q["n_chars"].cast("long").alias("n_chars"),
+        q["n_tokens"].cast("long").alias("n_tokens"),
+        q["n_punct"].cast("long").alias("n_punct"),
+        q["distinct_ratio"].alias("distinct_ratio"),
+        q["stop_ratio"].alias("stop_ratio"),
+        q["quality_score"].alias("quality_score"),
     )
 
 
@@ -144,49 +167,87 @@ def fingerprints(
     )
 
 
+def top_ngram_fraction_expr(text_col: str, n: int) -> Column:
+    """Fraction of all word n-grams taken by the single most frequent
+    one. Map-only: the n-gram mode is found by sorting the n-gram
+    array and taking the longest equal-run with one aggregate — no
+    per-(doc, gram) shuffle, so the plan is a projection at any
+    corpus size."""
+    toks = tokens_expr(text_col)
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    s = F.array_sort(grams)
+    best = F.aggregate(
+        s,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )["best"]
+    return best.cast("double") / F.greatest(F.size(grams), F.lit(1))
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Gopher-style repetition signals per document: the fraction of
     all word bigrams / trigrams taken by the single most frequent one
-    (boilerplate and degenerate generations score high). Map-only:
-    the n-gram mode is found by sorting the n-gram array and taking
-    the longest equal-run with one aggregate — no per-(doc, gram)
-    shuffle, so the plan is a projection at any corpus size."""
-    toks = tokens_expr(text_col)
-
-    def top_fraction(n: int) -> Column:
-        grams = F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-        s = F.array_sort(grams)
-        best = F.aggregate(
-            s,
-            F.struct(
-                F.lit("").alias("prev"),
-                F.lit(0).alias("run"),
-                F.lit(0).alias("best"),
-            ),
-            lambda acc, x: F.struct(
-                x.alias("prev"),
-                F.when(x == acc["prev"], acc["run"] + 1)
-                .otherwise(F.lit(1))
-                .alias("run"),
-                F.greatest(
-                    acc["best"],
-                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-                ).alias("best"),
-            ),
-        )["best"]
-        return (
-            best.cast("double") / F.greatest(F.size(grams), F.lit(1))
-        )
-
+    (boilerplate and degenerate generations score high)."""
     return docs.select(
         F.col(id_col),
-        top_fraction(2).alias("top_bigram_fraction"),
-        top_fraction(3).alias("top_trigram_fraction"),
+        top_ngram_fraction_expr(text_col, 2).alias("top_bigram_fraction"),
+        top_ngram_fraction_expr(text_col, 3).alias("top_trigram_fraction"),
+    )
+
+
+def corpus_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 5,
+    min_quality: float = 0.5,
+    max_top_bigram: float = 0.5,
+) -> DataFrame:
+    """The composed training-corpus quality gate: language-ID +
+    quality score + repetition signal evaluated in ONE projection
+    (language/quality/repetition are all per-row expressions, so
+    composing them costs no join and no shuffle — the whole filter is
+    a map over the scan, and `keep` pushes down like any computed
+    column). Emits the decision plus the ordered reasons so dropped
+    volumes are auditable per rule, never silent."""
+    q = quality_exprs(text_col)
+    lang = predicted_lang_expr(text_col)
+    top2 = top_ngram_fraction_expr(text_col, 2)
+    reasons = F.array_compact(
+        F.array(
+            F.when(~lang.isin(*allowed_langs), F.lit("lang")),
+            F.when(q["n_tokens"] < min_tokens, F.lit("too_short")),
+            F.when(q["quality_score"] < min_quality, F.lit("low_quality")),
+            F.when(top2 > max_top_bigram, F.lit("repetitive")),
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        lang.alias("predicted_lang"),
+        q["n_tokens"].cast("long").alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+        top2.alias("top_bigram_fraction"),
+        (F.size(reasons) == 0).alias("keep"),
+        F.concat_ws(",", reasons).alias("drop_reasons"),
     )
 
 

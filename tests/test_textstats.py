@@ -50,3 +50,33 @@ def test_fingerprints(spark):
     assert out[1].n_fingerprints == out[2].n_fingerprints
     assert out[1].min_fingerprint == out[2].min_fingerprint
     assert out[1].n_fingerprints >= 1
+
+
+def test_corpus_filter_decisions_and_reasons(spark):
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog is in the house of friends " * 3),
+            (2, "el la de que y los gatos duermen bien hoy aqui mismo senor"),
+            (3, "tiny"),
+            (4, "spam " * 12 + "the of and to in is a"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.corpus_filter(docs).collect()}
+    assert out[1].keep and out[1].drop_reasons == ""
+    assert not out[2].keep and "lang" in out[2].drop_reasons
+    assert not out[3].keep and "too_short" in out[3].drop_reasons
+    assert not out[4].keep and "repetitive" in out[4].drop_reasons
+    # reasons are ordered rule-order and comma-joined
+    assert out[3].drop_reasons.split(",")[0] in ("lang", "too_short")
+
+
+def test_corpus_filter_is_single_stage(spark):
+    """The composed filter must stay a shuffle-free projection."""
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import textstats
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = textstats.corpus_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
