@@ -57,3 +57,140 @@ def stream_triples(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EVENTS_DDL = "event_id long, user_id long, event_type string, ts timestamp"
+
+
+def stream_windowed_type_counts(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Event-time windowed counts per event_type with late-data
+    handling: withWatermark bounds state, append mode emits a window
+    only once it can no longer receive late rows — the streaming
+    analogue of events.type_stats. Checkpointed parquet sink; restart
+    with the same checkpoint resumes exactly-once (late files arriving
+    in a later run advance the watermark and flush earlier windows —
+    tested that way in tests/test_streaming.py)."""
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .json(source_dir)
+    )
+    counts = (
+        raw.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration).alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    gap_seconds: int = 1800,
+):
+    """Custom stateful operator: per-user gap sessionization via
+    applyInPandasWithState (the streaming analogue of
+    events.sessionize, same gap rule). State per user = the open
+    session (start_us, last_us, n). A session row is emitted the
+    moment a later event proves a gap > gap_seconds closed it; the
+    open tail session stays in state and persists across restarts
+    through the checkpoint. Events are processed in event-time order
+    within each micro-batch; cross-batch reordering is not attempted
+    (pair with a watermarked pre-aggregation when late data matters).
+    """
+    import pandas as pd  # noqa: F401 (worker-side import)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start_us", LongType()),
+            StructField("session_end_us", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def close_sessions(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        closed: list[tuple] = []
+        for pdf in pdf_iter:
+            for ts_us in sorted(int(v) for v in pdf["ts_us"]):
+                if start_us is None:
+                    start_us, last_us, n = ts_us, ts_us, 1
+                elif ts_us - last_us > gap_us:
+                    closed.append((user_id, start_us, last_us, n))
+                    start_us, last_us, n = ts_us, ts_us, 1
+                else:
+                    last_us = max(last_us, ts_us)
+                    n += 1
+        state.update((start_us, last_us, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+            )
+
+    raw = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .json(source_dir)
+    )
+    events = raw.select(
+        "user_id",
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+    )
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        close_sessions,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

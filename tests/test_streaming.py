@@ -47,3 +47,90 @@ def test_stream_chunks_and_extracts(spark, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
     assert n2 == n1 + 3  # 4 tokens → 3 bigram triples, batch 0 not redone
+
+
+def _write_events(src_dir, name, rows):
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, name), "w", encoding="utf-8") as f:
+        for eid, uid, etype, ts in rows:
+            f.write(
+                json.dumps(
+                    {"event_id": eid, "user_id": uid, "event_type": etype, "ts": ts}
+                )
+                + "\n"
+            )
+
+
+def test_stream_windowed_counts_emit_after_watermark(spark, tmp_path):
+    """Append-mode windowed agg: a window is emitted only once the
+    watermark (advanced by a later batch/run) passes its end."""
+    from knowledge_graph_creation_from_text_with_llms_spark.streaming.stream import (
+        stream_windowed_type_counts,
+    )
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    _write_events(
+        src,
+        "a.json",
+        [
+            (1, 1, "click", "2024-01-01T00:10:00Z"),
+            (2, 1, "click", "2024-01-01T00:20:00Z"),
+            (3, 2, "view", "2024-01-01T00:40:00Z"),
+        ],
+    )
+    q = stream_windowed_type_counts(
+        spark, src, ckpt, out, window_duration="1 hour", watermark="30 minutes"
+    )
+    q.awaitTermination(120)
+
+    # second run: events a day later push the watermark past hour 0
+    _write_events(src, "b.json", [(4, 3, "click", "2024-01-02T12:00:00Z")])
+    q2 = stream_windowed_type_counts(
+        spark, src, ckpt, out, window_duration="1 hour", watermark="30 minutes"
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r.event_type, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("click", 2) in got and ("view", 1) in got
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: in-batch gap closes a
+    session; the open tail survives in checkpointed state and is
+    closed by a later run."""
+    from knowledge_graph_creation_from_text_with_llms_spark.streaming.stream import (
+        stream_sessionize,
+    )
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    _write_events(
+        src,
+        "a.json",
+        [
+            (1, 7, "click", "2024-01-01T00:00:00Z"),
+            (2, 7, "click", "2024-01-01T00:10:00Z"),
+            # > 30 min gap closes session 1 within the same batch
+            (3, 7, "click", "2024-01-01T02:00:00Z"),
+        ],
+    )
+    q = stream_sessionize(spark, src, ckpt, out, gap_seconds=1800)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 1
+    s1 = first[0]
+    assert s1.user_id == 7 and s1.n_events == 2
+    assert s1.session_end_us - s1.session_start_us == 10 * 60 * 1_000_000
+
+    # restart with the same checkpoint: a much later event closes the
+    # tail session that lived only in state
+    _write_events(src, "b.json", [(4, 7, "click", "2024-01-01T06:00:00Z")])
+    q2 = stream_sessionize(spark, src, ckpt, out, gap_seconds=1800)
+    q2.awaitTermination(120)
+    rows = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r.session_start_us
+    )
+    assert len(rows) == 2
+    assert rows[1].n_events == 1  # the tail session [02:00, 02:00]
