@@ -214,16 +214,20 @@ def ngram_jaccard_pairs(
     # with document frequency df inside a block emitted O(df²) join
     # rows; high-df shingles sort LAST and essentially never enter a
     # prefix. Candidates are then verified exactly on the full sets.
-    inv = sh.select("_blk", F.col(id_col), F.explode("_sh").alias("_g"))
+    # per-doc shingle count is size(_sh) — carried through the explode
+    # rather than recomputed with a second window over the full index
+    inv = sh.select(
+        "_blk", F.col(id_col), F.size("_sh").alias("_n"),
+        F.explode("_sh").alias("_g"),
+    )
     dfreq = inv.groupBy("_blk", "_g").agg(F.count(F.lit(1)).alias("_df"))
     w_rank = Window.partitionBy("_blk", id_col).orderBy("_df", "_g")
-    w_all = Window.partitionBy("_blk", id_col)
     ranked = inv.join(dfreq, ["_blk", "_g"]).select(
         "_blk",
         F.col(id_col),
         "_g",
         F.row_number().over(w_rank).alias("_r"),
-        F.count(F.lit(1)).over(w_all).alias("_n"),
+        "_n",
     )
     # epsilon guards the float ceil from rounding t*n up past the exact
     # integer and shortening the prefix below the safe bound
@@ -240,6 +244,7 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     full = sh.select(F.col(id_col), "_sh")
+    na, nb = F.size("_sa"), F.size("_sb")
     return (
         cand.join(
             full.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")),
@@ -248,6 +253,13 @@ def ngram_jaccard_pairs(
         .join(
             full.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")),
             "id_b",
+        )
+        # size-ratio prune before the exact verify: J(A,B) >= t implies
+        # min(|A|,|B|) >= t*max(|A|,|B|); epsilon keeps the float
+        # product from rounding above an exactly-borderline min
+        .where(
+            F.least(na, nb).cast("double")
+            >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9)
         )
         .withColumn(
             "jaccard",
