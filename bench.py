@@ -140,6 +140,7 @@ def main() -> None:
         "kg_clean_html",
         "dedup_embedding_neardup_lsh",
         "corpus_filter",
+        "kg_metrics_bertscore",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

@@ -65,6 +65,23 @@ def hash_embedding_expr(col: str | Column, dim: int = DEFAULT_DIM) -> Column:
     return F.when(F.size(toks) > 0, F.array(*comps))
 
 
+def token_embedding_expr(token: Column, dim: int = DEFAULT_DIM) -> Column:
+    """array<double> embedding of ONE token (no averaging): component
+    d = md5 byte d scaled to [-1, 1]. The per-token building block of
+    hash_embedding_expr, used where token-level similarity matters
+    (BERTScore greedy matching). Never the zero vector, so cosine is
+    always defined."""
+    return F.array(
+        *[
+            F.conv(F.substring(F.md5(token), 2 * d + 1, 2), 16, 10)
+            .cast("double")
+            / F.lit(127.5)
+            - F.lit(1.0)
+            for d in range(dim)
+        ]
+    )
+
+
 def embed_labels(
     df: DataFrame, text_col: str, out_col: str = "embedding", dim: int = DEFAULT_DIM
 ) -> DataFrame:

@@ -1543,3 +1543,84 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed keep/drop quality gate: language + quality + repetition
     evaluated in one shuffle-free projection with auditable reasons."""
     return textstats.corpus_filter(_docs(spark, sf_dir))
+
+
+# -- 16. BERTScore-style token-matching metric (A5) -----------------------------
+
+
+def _SQL_TEMB(var: str) -> str:
+    """Single-token hash embedding (embeddings.token_embedding_expr):
+    16 components, byte d of md5(token) scaled to [-1, 1]."""
+    comps = [
+        f"('0x' || substr(md5({var}), {2 * d + 1}, 2))::INT / 127.5e0 - 1e0"
+        for d in range(16)
+    ]
+    return "[" + ", ".join(comps) + "]"
+
+
+_SQL_BS_COS = """
+  list_sum(list_transform(list_zip(e, o), p -> p[1] * p[2]))
+  / (sqrt(list_sum(list_transform(e, x -> x * x)))
+     * sqrt(list_sum(list_transform(o, x -> x * x))))
+"""
+
+
+@_q(
+    "kg_metrics_bertscore",
+    f"""
+WITH {{RAW}},
+pairs AS (
+  SELECT DISTINCT r.doc_id, r.subj, r.pred, r.obj,
+         substr(d.text, 1, 60) AS ref_text
+  FROM raw r JOIN documents d USING (doc_id)
+  WHERE r.doc_id % 50 = 0
+),
+tok AS (
+  SELECT doc_id, subj, pred, obj,
+         list_transform(
+           regexp_extract_all(lower(subj || ' ' || pred || ' ' || obj), '[a-z0-9]+'),
+           t -> {_SQL_TEMB("t")}) AS ce,
+         list_transform(
+           regexp_extract_all(lower(ref_text), '[a-z0-9]+'),
+           t -> {_SQL_TEMB("t")}) AS re
+  FROM pairs
+),
+scored AS (
+  SELECT doc_id, subj, pred, obj,
+    CASE WHEN len(re) > 0 AND len(ce) > 0 THEN
+      list_sum(list_transform(ce, e -> list_max(list_transform(re, o -> {_SQL_BS_COS}))))
+        / len(ce)
+    ELSE 0e0 END AS bs_precision,
+    CASE WHEN len(ce) > 0 AND len(re) > 0 THEN
+      list_sum(list_transform(re, e -> list_max(list_transform(ce, o -> {_SQL_BS_COS}))))
+        / len(re)
+    ELSE 0e0 END AS bs_recall
+  FROM tok
+)
+SELECT doc_id, subj, pred, obj, bs_precision, bs_recall,
+       CASE WHEN bs_precision + bs_recall > 0
+            THEN 2 * bs_precision * bs_recall / (bs_precision + bs_recall)
+            ELSE 0e0 END AS bs_f1
+FROM scored
+""".replace("{RAW}", _SQL_RAW_BIGRAMS.lstrip()),
+)
+def kg_metrics_bertscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERTScore pipeline (A5) with the deterministic hash token
+    encoder standing in for the contextual model (same pattern as the
+    J3 property-similarity encoder): each generated triple scored
+    against its document's leading text."""
+    tr = _triples_raw(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        tr.where(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "subj", "pred", "obj")
+        .distinct()
+        .join(docs.select("doc_id", F.substring("text", 1, 60).alias("ref_text")), "doc_id")
+        .withColumn(
+            "cand_text", F.concat_ws(" ", "subj", "pred", "obj")
+        )
+    )
+    out = metrics.bertscore_pairs(pairs, "cand_text", "ref_text")
+    return out.select(
+        "doc_id", "subj", "pred", "obj", "bs_precision", "bs_recall", "bs_f1"
+    )

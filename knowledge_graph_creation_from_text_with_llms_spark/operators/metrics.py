@@ -342,6 +342,74 @@ def rouge_best_match(
     )
 
 
+def bertscore_pairs(
+    pairs: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    dim: int = 16,
+) -> DataFrame:
+    """BERTScore-style token-level greedy matching per (candidate,
+    reference) text pair — the semantics of
+    metrics_generator.py:185-200's `bert_score(generated, ground_truth)`
+    (pairwise row i vs row i; the shipped reference call crashes on
+    unequal list lengths, which we do not replicate):
+
+      R  = mean over ref tokens of max cosine to any candidate token
+      P  = mean over candidate tokens of max cosine to any ref token
+      F1 = 2PR/(P+R)
+
+    The token encoder is the deterministic hash embedding
+    (functions/embeddings.token_embedding_expr) — the same
+    structurally-faithful stand-in used for J3 property similarity;
+    swap in a real contextual encoder (import-gated
+    SentenceEncoderBackend) for linguistically meaningful scores.
+    Entirely native nested higher-order functions: no UDF, no shuffle,
+    and an exact DuckDB oracle (gate `kg_metrics_bertscore`).
+    """
+    from ..functions.embeddings import token_embedding_expr
+    from ..functions.text import tokens_expr
+
+    def embs(col: str) -> "F.Column":
+        return F.transform(
+            tokens_expr(col), lambda t: token_embedding_expr(t, dim)
+        )
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+        n = lambda v: F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x)
+        )
+        return dot / (n(a) * n(b))
+
+    def side_score(from_embs, to_embs):
+        best = F.transform(
+            from_embs,
+            lambda e: F.array_max(F.transform(to_embs, lambda o: cos(e, o))),
+        )
+        total = F.aggregate(best, F.lit(0.0), lambda s, x: s + x)
+        return F.when(F.size(from_embs) > 0, total / F.size(from_embs)).otherwise(
+            F.lit(0.0)
+        )
+
+    ce, re_ = F.col("_ce"), F.col("_re")
+    staged = pairs.withColumn("_ce", embs(cand_col)).withColumn(
+        "_re", embs(ref_col)
+    )
+    p = F.when(F.size(re_) > 0, side_score(ce, re_)).otherwise(F.lit(0.0))
+    r = F.when(F.size(ce) > 0, side_score(re_, ce)).otherwise(F.lit(0.0))
+    out = staged.withColumn("bs_precision", p).withColumn("bs_recall", r)
+    f1 = F.when(
+        (F.col("bs_precision") + F.col("bs_recall")) > 0,
+        2
+        * F.col("bs_precision")
+        * F.col("bs_recall")
+        / (F.col("bs_precision") + F.col("bs_recall")),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("bs_f1", f1).drop("_ce", "_re")
+
+
 def _scalar_prf(tp: int, fp: int, fn: int) -> tuple[float, float, float]:
     p = tp / (tp + fp) if tp + fp else 0.0
     r = tp / (tp + fn) if tp + fn else 0.0

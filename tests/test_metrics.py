@@ -187,3 +187,34 @@ def test_rouge_best_match_agrees_with_native_rouge1(spark):
     assert set(new) == set(old)
     for k in new:
         assert abs(new[k] - old[k]) < 1e-12, k
+
+
+def test_bertscore_pairs_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat", "the cat sat"),
+            ("the cat", "the cat sat on mat"),
+            ("", "something"),
+            ("word", ""),
+        ],
+        "cand string, ref string",
+    )
+    rows = {r.cand: r for r in metrics.bertscore_pairs(df, "cand", "ref").collect()}
+    exact = rows["the cat sat"]
+    assert (exact.bs_precision, exact.bs_recall, exact.bs_f1) == (1.0, 1.0, 1.0)
+    subset = rows["the cat"]
+    # every candidate token appears in the reference → P = 1; R < 1
+    assert abs(subset.bs_precision - 1.0) < 1e-12
+    assert 0.0 < subset.bs_recall < 1.0
+    assert rows[""].bs_f1 == 0.0 and rows["word"].bs_f1 == 0.0
+
+
+def test_bertscore_is_shuffle_free(spark):
+    df = spark.createDataFrame([("a b", "b c")], "cand string, ref string")
+    plan = (
+        metrics.bertscore_pairs(df, "cand", "ref")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
