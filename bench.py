@@ -141,6 +141,8 @@ def main() -> None:
         "dedup_embedding_neardup_lsh",
         "corpus_filter",
         "kg_metrics_bertscore",
+        "dedup_components",
+        "kg_khop",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

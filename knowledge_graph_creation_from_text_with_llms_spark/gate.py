@@ -1624,3 +1624,79 @@ def kg_metrics_bertscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "subj", "pred", "obj", "bs_precision", "bs_recall", "bs_f1"
     )
+
+
+# -- 17. duplicate clusters: connected components over pair output --------------
+
+
+_SQL_SYNTH_PAIRS = """pairs AS (
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents WHERE doc_id % 10 < 3
+  UNION ALL
+  SELECT doc_id AS id_a, doc_id + 2 AS id_b FROM documents WHERE doc_id % 20 = 0
+)"""
+
+
+def _synth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pair graph with chains + shortcut edges — the
+    shape dedup candidate output takes (same construction as
+    _SQL_SYNTH_PAIRS)."""
+    d = _docs(spark, sf_dir)
+    a = d.where(F.col("doc_id") % 10 < 3).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    b = d.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 2).alias("id_b")
+    )
+    return a.unionAll(b)
+
+
+@_q(
+    "dedup_components",
+    f"""
+WITH RECURSIVE {_SQL_SYNTH_PAIRS},
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(v, r) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.v
+)
+SELECT v AS id, min(r) AS component FROM reach GROUP BY v
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise dedup output → duplicate clusters (min-label
+    propagation to fixpoint); oracle is the recursive-CTE transitive
+    closure."""
+    return dedup.connected_components(_synth_pairs(spark, sf_dir))
+
+
+# -- 18. k-hop neighborhood expansion over the KG edges -------------------------
+
+
+@_q(
+    "kg_khop",
+    f"""
+WITH RECURSIVE {{EDGES}},
+seeds AS (SELECT DISTINCT src_id FROM edges WHERE src_id LIKE 'a%'),
+hops(v, h) AS (
+  SELECT src_id, 0 FROM seeds
+  UNION
+  SELECT e.dst_id, hops.h + 1
+  FROM hops JOIN edges e ON e.src_id = hops.v AND NOT e.is_literal
+  WHERE hops.h < 2
+)
+SELECT v AS node_id, CAST(min(h) AS INTEGER) AS hops FROM hops GROUP BY v
+""".replace("{EDGES}", SQL_EDGES.lstrip()),
+)
+def kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood of the 'a*' seed entities over the KG edge
+    list (literal objects are terminal — they never expand)."""
+    edges = _edges(_docs(spark, sf_dir))
+    seeds = edges.where(F.col("src_id").startswith("a")).select("src_id")
+    return graph.k_hop_neighbors(
+        edges.where(~F.col("is_literal")), seeds.withColumnRenamed("src_id", "node_id"), 2
+    )

@@ -311,3 +311,88 @@ def embedding_neardup_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.col("cos"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-pair graph → clusters: (id, component) where
+    component = min id reachable through pairs. This is the step that
+    turns every pairwise dedup operator's output (MinHash-LSH, n-gram
+    Jaccard, embedding near-dup, ...) into actionable duplicate
+    GROUPS with a canonical representative.
+
+    Algorithm: iterative min-label propagation —
+      label(v) ← min(label(v), min over neighbors label(u))
+    to a fixpoint. Each round is one join + one aggregation on the
+    (bounded) pair list; the driver holds only the scalar
+    changed-count. Rounds needed = component diameter; duplicate
+    clusters are near-cliques (diameter ≤ ~2-3 via their shared
+    bucket), so convergence is fast regardless of corpus size — the
+    long-chain worst case is bounded by max_iterations and raises
+    rather than silently returning partial labels.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)  # cut lineage for the loop
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("nmin", F.col("component")) < F.col("component")
+                ).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.where(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(pathological chain-shaped pair graph); raise max_iterations or "
+        "pre-contract with alternating star rounds"
+    )
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Pairs → per-duplicate-cluster summary: (component, n_members,
+    members) with component = canonical (min) id — the 'keep one per
+    cluster' decision table. members is array-sorted for deterministic
+    output; at true 100 TB scale join `connected_components` output
+    directly instead of collecting member arrays."""
+    comp = connected_components(pairs, a_col, b_col)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.array_sort(F.collect_list("id")).alias("members"),
+        )
+    )

@@ -219,3 +219,32 @@ def to_turtle_lines(edges: DataFrame) -> DataFrame:
             F.lit("> "), obj, F.lit(" ."),
         ).alias("line")
     ).orderBy("line")
+
+
+def k_hop_neighbors(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    seed_col: str = "node_id",
+) -> DataFrame:
+    """(node_id, hops): every node reachable from the seed set in at
+    most k directed hops, with the minimum hop count. k bounded
+    iterative frontier expansion — each round joins only the NEW
+    frontier against the edge list (visited nodes are anti-joined
+    away), so round r shuffles |frontier_r| × avg-degree rows, never
+    the whole reachable set again. The classic BFS-as-joins plan; k is
+    small and fixed, so the loop unrolls into one DAG."""
+    frontier = seeds.select(F.col(seed_col).alias("node_id")).distinct()
+    visited = frontier.withColumn("hops", F.lit(0))
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier.node_id == edges.src_id)
+            .select(F.col("dst_id").alias("node_id"))
+            .distinct()
+            .join(visited.select("node_id"), "node_id", "left_anti")
+        )
+        frontier = nxt
+        visited = visited.unionByName(
+            nxt.withColumn("hops", F.lit(hop))
+        ).localCheckpoint(eager=True)
+    return visited

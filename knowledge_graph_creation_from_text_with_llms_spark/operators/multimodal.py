@@ -110,3 +110,65 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+class DeterministicFakeResizer:
+    """Stand-in resizer: emits a payload deterministically derived
+    from (payload, target dims) — shape-correct metadata, stable
+    across runs, no image library."""
+
+    def resize(self, payload: bytes | str, w: int, h: int) -> str:
+        if isinstance(payload, str):
+            payload = payload.encode()
+        return hashlib.sha256(payload + f"|{w}x{h}".encode()).hexdigest()
+
+
+class LibraryResizer:  # pragma: no cover
+    def resize(self, payload: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError(
+            "image libraries are not available in this environment; "
+            "use DeterministicFakeResizer for plumbing tests"
+        )
+
+
+def resize_media(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    resizer_factory=DeterministicFakeResizer,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """image rows → resized payload + updated dimensions; one
+    mapInPandas stage with a per-worker resizer singleton (same batch
+    discipline as extract_media_features). Non-image rows pass through
+    untouched on the Spark side (cheap `filter` + `unionByName`, no
+    Python for them)."""
+    schema = StructType(
+        [
+            StructField(id_col, StringType()),
+            StructField("kind", StringType()),
+            StructField("mime", StringType()),
+            StructField("payload", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("duration_ms", IntegerType()),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rs = resizer_factory()
+        for pdf in batches:
+            out = pdf[[id_col, "kind", "mime", "payload", "width", "height", "duration_ms"]].copy()
+            out["payload"] = pdf[payload_col].map(
+                lambda p: rs.resize(p, target_w, target_h)
+            )
+            out["width"] = np.int32(target_w)
+            out["height"] = np.int32(target_h)
+            yield out
+
+    images = media.where(F.col("kind") == "image")
+    rest = media.where(F.col("kind") != "image").select(
+        id_col, "kind", "mime", "payload", "width", "height", "duration_ms"
+    )
+    return images.mapInPandas(_run, schema=schema).unionByName(rest)

@@ -90,3 +90,44 @@ def synthetic_scaled_source(
             "content",
         )
     )
+
+
+SOURCE_DDL = "repo string, path string, commit string, lang string, content string"
+
+
+def read_source(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Load a source table of the input_hint shape (repo, path,
+    commit, lang, content) from any of the supported formats and
+    attach the ingest columns (content_sha256 invariant + doc_id).
+
+    - parquet: columnar scan, predicate/column pushdown (the 100 TB
+      path; an Iceberg catalog table reads identically via
+      spark.read.table).
+    - jsonl / csv: schema pinned to SOURCE_DDL (never inferSchema — a
+      schema-inference pass over a large corpus is a full extra scan).
+    - text: one file per document via spark.read.text with
+      wholetext, repo/path/commit synthesized from the file path.
+    """
+    if fmt == "parquet":
+        df = spark.read.schema(SOURCE_DDL).parquet(path)
+    elif fmt in ("json", "jsonl"):
+        df = spark.read.schema(SOURCE_DDL).json(path)
+    elif fmt == "csv":
+        df = spark.read.schema(SOURCE_DDL).option("header", "true").csv(path)
+    elif fmt == "text":
+        raw = spark.read.option("wholetext", "true").text(path)
+        files = raw.select(
+            F.input_file_name().alias("_file"), F.col("value").alias("content")
+        )
+        df = files.select(
+            F.lit("textdir").alias("repo"),
+            F.element_at(F.split("_file", "/"), -1).alias("path"),
+            F.lit(_FIXED_COMMIT).alias("commit"),
+            F.lit("text").alias("lang"),
+            "content",
+        )
+    else:
+        raise ValueError(f"unsupported source format: {fmt}")
+    return with_ingest_columns(df)

@@ -50,6 +50,9 @@ def main() -> int:
                          "(append per-row stages, rebuild global tables)")
     ap.add_argument("--no-verify", action="store_true",
                     help="skip the per-row sha256 invariant check")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "jsonl", "json", "csv", "text"],
+                    help="source table format (sources/corpus.read_source)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,6 +65,7 @@ def main() -> int:
         ParquetCatalog,
     )
     from knowledge_graph_creation_from_text_with_llms_spark.sources.corpus import (
+        read_source,
         with_ingest_columns,
     )
 
@@ -69,9 +73,12 @@ def main() -> int:
     # session factory's local default only kicks in for bare python
     spark = SparkSession.builder.appName("kg-construct").getOrCreate()
 
-    source = spark.read.parquet(args.input)
-    if "content_sha256" not in source.columns:
-        source = with_ingest_columns(source)
+    if args.input_format == "parquet":
+        source = spark.read.parquet(args.input)  # tolerate extra columns
+        if "content_sha256" not in source.columns:
+            source = with_ingest_columns(source)
+    else:
+        source = read_source(spark, args.input, args.input_format)
 
     entity_dict = spark.read.parquet(args.entity_dict) if args.entity_dict else None
     property_dict = (

@@ -172,3 +172,40 @@ def test_embedding_neardup_autoblock_no_crossjoin(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_connected_components_chains_and_singleton_pairs(spark):
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_convergence_guard(spark):
+    import pytest
+
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import dedup
+
+    # a chain of length 12 needs ~11 label-propagation rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError):
+        dedup.connected_components(chain, max_iterations=3)
+    comp = {r.id: r.component for r in dedup.connected_components(chain).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_dedup_groups_members(spark):
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(5, 6), (6, 7), (30, 31)], "id_a long, id_b long"
+    )
+    groups = {r.component: r for r in dedup.dedup_groups(pairs).collect()}
+    assert list(groups[5].members) == [5, 6, 7] and groups[5].n_members == 3
+    assert list(groups[30].members) == [30, 31]

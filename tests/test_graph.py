@@ -108,3 +108,18 @@ def test_adjacency_degree_cap(spark):
     # uncapped output unchanged by the new parameter's default
     uncapped = {r.node_id: r for r in graph.build_adjacency(edges).collect()}
     assert len(uncapped["hub"].out) == 5 and "truncated" not in uncapped["hub"].asDict()
+
+
+def test_k_hop_neighbors_min_hops(spark):
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("x", "y")],
+        "src_id string, dst_id string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node_id string")
+    out = {r.node_id: r.hops for r in graph.k_hop_neighbors(edges, seeds, 2).collect()}
+    # c reachable at hop 1 via the shortcut, not 2; d at hop 2 via c
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2}
