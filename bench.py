@@ -143,6 +143,7 @@ def main() -> None:
         "kg_metrics_bertscore",
         "dedup_components",
         "kg_khop",
+        "kg_metrics_rougel_nostem",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

@@ -63,6 +63,47 @@ def char_shingles_expr(col: str | Column, k: int = 8) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def lcs_len_expr(a: Column, b: Column) -> Column:
+    """Longest-common-subsequence length of two token arrays — fully
+    native (no UDF), as a single `aggregate` fold over `a` carrying the
+    DP row for `b`.
+
+    Uses the running-max reformulation of the LCS row update: with
+    row_old monotone nondecreasing,
+        row_new[j] = max(row_old[j], max_{k<=j} cand[k]),
+        cand[k]    = (a_i == b_k) ? row_old[k-1] + 1 : 0
+    which removes the left-to-right dependency inside the row so the
+    whole update is one `transform`. O(m·n²) expression work per row —
+    intended for sentence/triple-length token arrays (ROUGE-L), not
+    documents. Exact DuckDB twin: a recursive CTE with the same
+    list_transform body (see gate.kg_metrics_rougel_nostem).
+    """
+    def step(row: Column, x: Column) -> Column:
+        cand = F.transform(
+            b,
+            lambda y, k: F.when(
+                y == x,
+                F.when(k == F.lit(0), F.lit(1)).otherwise(
+                    F.element_at(row, k) + F.lit(1)
+                ),
+            ).otherwise(F.lit(0)),
+        )
+        return F.transform(
+            row,
+            lambda old_j, j: F.greatest(
+                old_j, F.array_max(F.slice(cand, 1, j + F.lit(1)))
+            ),
+        )
+
+    zero = F.transform(b, lambda _: F.lit(0))
+    return F.aggregate(
+        a,
+        zero,
+        step,
+        lambda row: F.coalesce(F.try_element_at(row, F.lit(-1)), F.lit(0)),
+    )
+
+
 def bigrams_expr(col: str | Column) -> Column:
     """Adjacent token pairs as array<struct<subj,obj>> — the mention
     co-occurrence triple source. No shuffle: pure array transform.

@@ -636,6 +636,65 @@ def kg_metrics_rougel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics.rouge_best_match(gen, gt, use_stemmer=True)
 
 
+@_q(
+    "kg_metrics_rougel_nostem",
+    f"""
+WITH RECURSIVE {_SQL_RAW_BIGRAMS.lstrip()},
+gen AS (SELECT DISTINCT subj, pred, obj FROM raw WHERE doc_id % 50 = 0),
+gtd AS (SELECT DISTINCT subj, pred, obj FROM raw WHERE doc_id % 75 = 0),
+g AS (
+  SELECT md5(subj || pred || obj) AS gid, subj, pred, obj,
+         regexp_extract_all(lower(subj || ' ' || pred || ' ' || obj),
+                            '[a-z0-9]+') AS a
+  FROM gen
+),
+t AS (
+  SELECT regexp_extract_all(lower(subj || ' ' || pred || ' ' || obj),
+                            '[a-z0-9]+') AS b
+  FROM gtd
+),
+-- LCS DP with the running-max row update (row_old monotone =>
+-- row_new[j] = max(row_old[j], max_{{k<=j}} cand_k) — same
+-- reformulation as functions.text.lcs_len_expr on the Spark side)
+dp AS (
+  SELECT gid, a, b, 0 AS i, list_transform(b, y -> 0) AS row
+  FROM g CROSS JOIN t
+  UNION ALL
+  SELECT gid, a, b, i + 1,
+    list_transform(row, (old_j, j) -> greatest(old_j, coalesce(list_max(
+      (list_transform(b, (y, k) -> CASE WHEN y = a[i+1]
+          THEN (CASE WHEN k = 1 THEN 0 ELSE row[k-1] END) + 1
+          ELSE 0 END))[1:j]), 0)))
+  FROM dp WHERE i < len(a)
+),
+lcs AS (
+  SELECT gid, CAST(coalesce(row[len(b)], 0) AS DOUBLE) AS l,
+         len(a) AS ng, len(b) AS nt
+  FROM dp WHERE i = len(a)
+),
+f AS (
+  SELECT gid, CASE WHEN l = 0 OR ng <= 0 OR nt <= 0 THEN 0e0
+         ELSE 2 * (l / ng) * (l / nt) / ((l / ng) + (l / nt)) END AS f
+  FROM lcs
+)
+SELECT g.subj, g.pred, g.obj, coalesce(bf.best_f, 0e0) AS best_rougeL_f
+FROM g LEFT JOIN (SELECT gid, max(f) AS best_f FROM f GROUP BY gid) bf
+  USING (gid)
+""",
+)
+def kg_metrics_rougel_nostem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L best-match, stemmer-less, fully native (A4): the LCS
+    itself runs as an `aggregate` fold (functions.text.lcs_len_expr)
+    and is verified bit-exactly against a recursive-CTE DP oracle —
+    upgrading ROUGE-L from the rows-only check `kg_metrics_rougel`
+    (whose Porter-stemmed scorer stays pandas-UDF) to a hash-verified
+    gate."""
+    tr = _triples_raw(_docs(spark, sf_dir))
+    gen = tr.where(F.col("doc_id") % 50 == 0).select("subj", "pred", "obj")
+    gt = tr.where(F.col("doc_id") % 75 == 0).select("subj", "pred", "obj")
+    return metrics.rouge_l_best(gen, gt)
+
+
 # -- 10c. cosine property top-k (J3/W1) with native hash embeddings -------------
 
 def _SQL_HEMB(var: str) -> str:

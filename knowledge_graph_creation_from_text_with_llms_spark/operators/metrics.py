@@ -242,6 +242,45 @@ def rouge_n_best(
     )
 
 
+def rouge_l_best(generated: DataFrame, ground_truth: DataFrame) -> DataFrame:
+    """Per distinct generated triple: best ROUGE-L f-measure over all
+    ground-truth triples — the LCS-based member of
+    metrics_generator.py:163's metric set, computed entirely with
+    native expressions (functions.text.lcs_len_expr aggregate fold; no
+    pandas UDF, unlike `rouge_best_match` whose Porter-stemmed variant
+    needs Python). No stemming — the stemmer-less twin exists so the
+    LCS computation itself is oracle-verifiable bit-exactly in SQL.
+
+      f = 2·(lcs/ng)·(lcs/nt) / (lcs/ng + lcs/nt)
+
+    GT is the small evaluation set by construction → broadcast left
+    join (generated rows survive an empty GT with best = 0.0).
+    """
+    from ..functions.text import lcs_len_expr, tokens_expr
+
+    text_of = F.concat_ws(" ", *[F.col(c) for c in _COLS])
+    g = (
+        generated.select(*_COLS)
+        .distinct()
+        .withColumn("_gt", tokens_expr(text_of))
+    )
+    t = (
+        ground_truth.select(*_COLS)
+        .distinct()
+        .select(tokens_expr(text_of).alias("_tt"))
+    )
+    lcs = lcs_len_expr(F.col("_gt"), F.col("_tt")).cast("double")
+    ng, nt = F.size("_gt"), F.size("_tt")
+    p, r = lcs / ng, lcs / nt
+    f = F.when(
+        (lcs == 0) | (ng <= 0) | (nt <= 0), F.lit(0.0)
+    ).otherwise(2 * p * r / (p + r))
+    scored = g.join(F.broadcast(t), F.lit(True), "left").withColumn("_f", f)
+    return scored.groupBy(*_COLS).agg(
+        F.coalesce(F.max("_f"), F.lit(0.0)).alias("best_rougeL_f")
+    )
+
+
 def rouge_best_match(
     generated: DataFrame,
     ground_truth: DataFrame,

@@ -218,3 +218,33 @@ def test_bertscore_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_rouge_l_best_native_matches_udf_scorer(spark):
+    """The native LCS fold (rouge_l_best) must agree with the pandas-UDF
+    pair scorer (rouge_best_match, stemmer off) on every pair — and with
+    a hand-computed reordered-subsequence case where L differs from R1."""
+    gen = _df(
+        spark,
+        [("the cat", "sat", "mat"),
+         ("b a", "c", "d"),          # tokens b a c d vs GT a b c d: LCS=3
+         ("zz", "qq", "ww")],         # no overlap → 0.0
+    )
+    gt = _df(spark, [("the cat", "sat on", "the mat"), ("a b", "c", "d")])
+    native = {
+        (r.subj, r.pred, r.obj): r.best_rougeL_f
+        for r in metrics.rouge_l_best(gen, gt).collect()
+    }
+    udf = {
+        (r.subj, r.pred, r.obj): r.best_rougeL_f
+        for r in metrics.rouge_best_match(gen, gt, use_stemmer=False).collect()
+    }
+    assert set(native) == set(udf)
+    for k in native:
+        assert abs(native[k] - udf[k]) < 1e-12, k
+    # b a c d vs a b c d: LCS = 3 (a c d or b c d) → p = r = 3/4
+    assert abs(native[("b a", "c", "d")] - 2 * 0.75 * 0.75 / 1.5) < 1e-12
+    assert native[("zz", "qq", "ww")] == 0.0
+    # empty GT: rows survive with 0.0
+    rows = metrics.rouge_l_best(gen, _df(spark, [])).collect()
+    assert len(rows) == 3 and all(r.best_rougeL_f == 0.0 for r in rows)
