@@ -144,6 +144,9 @@ def main() -> None:
         "dedup_components",
         "kg_khop",
         "kg_metrics_rougel_nostem",
+        "kg_triangles",
+        "corpus_split",
+        "text_contamination",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 
 from .functions.hashing import md5_qid
 from .functions.text import bigrams_expr, tokens_expr
-from .operators import canonicalizer, dedup, events, graph, linker, metrics
-from .operators import parser, similarity, textstats
+from .operators import canonicalizer, contamination, dedup, events, graph
+from .operators import linker, metrics, parser, sampling, similarity, textstats
 from .operators.chunker import chunk_array_udf
 
 CHUNK_SIZE = 120  # word-unit chunking of the ~300-char synthetic docs
@@ -1759,3 +1759,140 @@ def kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.k_hop_neighbors(
         edges.where(~F.col("is_literal")), seeds.withColumnRenamed("src_id", "node_id"), 2
     )
+
+
+# -- 19. triangle counting over the KG edges -------------------------------------
+
+
+@_q(
+    "kg_triangles",
+    """
+WITH {EDGES},
+e0 AS (
+  SELECT DISTINCT least(src_id, dst_id) AS u, greatest(src_id, dst_id) AS v
+  FROM edges WHERE NOT is_literal AND src_id <> dst_id
+),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) GROUP BY n
+),
+o AS (
+  SELECT CASE WHEN (da.d, u) < (db.d, v) THEN u ELSE v END AS s,
+         CASE WHEN (da.d, u) < (db.d, v) THEN v ELSE u END AS t,
+         CASE WHEN (da.d, u) < (db.d, v) THEN db.d ELSE da.d END AS dt
+  FROM e0 JOIN deg da ON da.n = u JOIN deg db ON db.n = v
+),
+wg AS (
+  SELECT e1.s, e1.t AS a, e2.t AS b
+  FROM o e1 JOIN o e2 ON e1.s = e2.s
+  WHERE (e1.dt, e1.t) < (e2.dt, e2.t)
+),
+tri AS (SELECT wg.s, wg.a, wg.b FROM wg JOIN o ON o.s = wg.a AND o.t = wg.b)
+SELECT node_id, CAST(count(*) AS BIGINT) AS triangles
+FROM (SELECT s AS node_id FROM tri
+      UNION ALL SELECT a FROM tri
+      UNION ALL SELECT b FROM tri)
+GROUP BY node_id
+""".replace("{EDGES}", SQL_EDGES.lstrip()),
+)
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the (undirected, simple) KG
+    entity graph — degree-ordered wedge enumeration, each triangle
+    counted once at its (degree, id)-smallest vertex."""
+    edges = _edges(_docs(spark, sf_dir)).where(~F.col("is_literal"))
+    return graph.triangle_counts(edges)
+
+
+# -- 20. deterministic corpus splitting / sampling -------------------------------
+
+# mirror of sampling.assign_splits' cut-point arithmetic (same float
+# accumulation order) so the SQL literals are bit-identical to the
+# operator's — any drift and the gate catches it
+_SPLIT_WEIGHTS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+
+
+def _split_cuts() -> list[tuple[str, int]]:
+    total = float(sum(w for _, w in _SPLIT_WEIGHTS))
+    cuts, acc = [], 0.0
+    for name, w in _SPLIT_WEIGHTS[:-1]:
+        acc += w / total
+        cuts.append((name, int(acc * (1 << 32))))
+    return cuts
+
+
+@_q(
+    "corpus_split",
+    f"""
+SELECT doc_id,
+       CASE WHEN b < {_split_cuts()[0][1]} THEN 'train'
+            WHEN b < {_split_cuts()[1][1]} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+      FROM documents)
+""",
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split assignment (growth-stable: a doc never
+    migrates when other docs are added) — map-only, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    return sampling.assign_splits(
+        docs, dict(_SPLIT_WEIGHTS)
+    ).select("doc_id", "split")
+
+
+@_q(
+    "corpus_sample",
+    f"""
+SELECT doc_id, source
+FROM (SELECT doc_id, source,
+             CAST(('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS b
+      FROM documents)
+WHERE b < {int(0.25 * (1 << 32))}
+""",
+)
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (salt, id)-keyed Bernoulli sample at 25% — re-runs
+    on a grown corpus keep every previously sampled row."""
+    docs = _docs(spark, sf_dir)
+    return sampling.hash_sample(docs, 0.25).select("doc_id", "source")
+
+
+# -- 21. benchmark decontamination (n-gram overlap vs probe set) -----------------
+
+
+@_q(
+    "text_contamination",
+    f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws) - 1),
+                                      i -> array_to_string(ws[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, {TOK} AS ws FROM documents)
+  WHERE len(ws) >= 3
+),
+pg AS (
+  SELECT DISTINCT md5(g) AS gh
+  FROM (SELECT unnest(sh) AS g FROM grams WHERE doc_id % 97 = 0)
+),
+dg AS (
+  SELECT doc_id, md5(g) AS gh
+  FROM (SELECT doc_id, unnest(sh) AS g FROM grams)
+),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM dg JOIN pg USING (gh) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
+       coalesce(hits.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+""",
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style eval-set overlap check: flag documents sharing any
+    word 3-gram (13 in production) with the probe subset (doc_id%97);
+    broadcast md5'd probe grams, map+broadcast-join corpus side."""
+    docs = _docs(spark, sf_dir)
+    probes = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination.contamination_flags(docs, probes, n=3)

@@ -248,3 +248,57 @@ def k_hop_neighbors(
             nxt.withColumn("hops", F.lit(hop))
         ).localCheckpoint(eager=True)
     return visited
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src_id", dst_col: str = "dst_id"
+) -> DataFrame:
+    """Per-node triangle participation counts over the undirected
+    simple graph of `edges` (self-loops dropped, multi-edges and
+    direction collapsed): (node_id, triangles), nodes in ≥1 triangle.
+
+    Degree-ordered orientation — each undirected edge is directed from
+    its (degree, id)-smaller endpoint to the larger — so every triangle
+    is enumerated exactly once as a wedge at its smallest vertex, and
+    the wedge join fans out by MIN degree: total wedge rows are
+    Σ_v min_deg_oriented(v)² = O(m^1.5) regardless of hub nodes (a
+    degree-10⁶ hub contributes nothing to the fanout because its edges
+    all point INTO it). Three key-partitioned shuffles (dedup, degree,
+    wedge/close joins); no cross join anywhere.
+    """
+    und = (
+        edges.where(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    with_deg = und.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    u_first = F.struct("du", "u") < F.struct("dv", "v")
+    o = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    e1 = o.select("s", F.col("t").alias("a"), F.col("dt").alias("da"))
+    e2 = o.select("s", F.col("t").alias("b"), F.col("dt").alias("db"))
+    wedges = e1.join(e2, "s").where(
+        F.struct("da", "a") < F.struct("db", "b")
+    )
+    tri = wedges.join(
+        o.select(F.col("s").alias("a"), F.col("t").alias("b")), ["a", "b"]
+    ).select("s", "a", "b")
+    return (
+        tri.select(F.explode(F.array("s", "a", "b")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )

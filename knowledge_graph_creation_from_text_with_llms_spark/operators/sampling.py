@@ -1,0 +1,81 @@
+"""Deterministic corpus splitting and sampling.
+
+Training-data pipelines need document→split assignment that is (a)
+stable under corpus growth (a doc never migrates between train and
+test when new data arrives), (b) reproducible across engines and
+runs, and (c) map-only at 100 TB. Both operators here key every
+decision off md5(salt | id): no RNG state, no shuffle, no driver
+participation — and an exact DuckDB oracle
+(CAST('0x' || substr(md5(..), 1, 8) AS BIGINT) is the SQL twin of
+Spark's conv(.., 16, 10)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^32 buckets from the first 8 md5 hex chars: uniform on [0, 2^32)
+_BUCKETS = 1 << 32
+
+
+def hash_bucket_expr(id_col: Column, salt: str) -> Column:
+    """Uniform bucket in [0, 2^32) from md5(salt | '|' | id)."""
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def assign_splits(
+    df: DataFrame,
+    splits: Mapping[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Add a `split` column assigning each row to a named fraction.
+
+    `splits` maps name → weight (normalized internally); cut points are
+    laid out in the given (insertion) order over the hash-bucket space,
+    so the same (salt, id) always lands in the same split — adding or
+    removing OTHER documents never moves an existing one (unlike
+    randomSplit, which reassigns on every ordering change). Map-only:
+    no shuffle, no RNG, no driver state.
+    """
+    if splits is None:
+        splits = {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = float(sum(splits.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    bucket = hash_bucket_expr(F.col(id_col), salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name] / total
+        cut = int(acc * _BUCKETS)
+        branch = bucket < F.lit(cut)
+        expr = F.when(branch, F.lit(name)) if expr is None else expr.when(
+            branch, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", out)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hash bucket
+    falls below fraction · 2^32. Same guarantees as assign_splits —
+    a row's membership depends only on (salt, id), so re-running on a
+    grown corpus keeps every previously sampled row (monotone,
+    resumable sampling; df.sample() reshuffles membership per run).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    cut = int(fraction * _BUCKETS)
+    return df.where(hash_bucket_expr(F.col(id_col), salt) < F.lit(cut))

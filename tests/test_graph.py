@@ -123,3 +123,20 @@ def test_k_hop_neighbors_min_hops(spark):
     out = {r.node_id: r.hops for r in graph.k_hop_neighbors(edges, seeds, 2).collect()}
     # c reachable at hop 1 via the shortcut, not 2; d at hop 2 via c
     assert out == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_triangle_counts_hand_graph(spark):
+    # K4 on a,b,c,d (every node in C(3,2)=3 triangles), a 4-cycle
+    # w,x,y,z with no chord (0 triangles), a self-loop and a repeated /
+    # reversed edge that must not change counts
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("c", "b"),            # reversed duplicate
+         ("w", "x"), ("x", "y"), ("y", "z"), ("z", "w"),
+         ("a", "a")],                        # self-loop
+        "src_id string, dst_id string",
+    )
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import graph
+
+    got = {r.node_id: r.triangles for r in graph.triangle_counts(edges).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
