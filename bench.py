@@ -147,6 +147,7 @@ def main() -> None:
         "kg_triangles",
         "corpus_split",
         "text_contamination",
+        "ann_topk_ivf_kmeans",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

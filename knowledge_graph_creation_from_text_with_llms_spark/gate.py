@@ -1896,3 +1896,81 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     probes = docs.where(F.col("doc_id") % 97 == 0)
     return contamination.contamination_flags(docs, probes, n=3)
+
+
+# -- 22. k-means IVF ANN (trained coarse quantizer) -------------------------------
+
+def _SQL_KM_ASSIGN(src: str, cent: str, out: str) -> str:
+    """One Lloyd assignment round: nearest centroid by integer sqdist,
+    ties to the smaller cid."""
+    return f"""{out} AS (
+  SELECT vec_id, qe, cid FROM (
+    SELECT s.vec_id, s.qe, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             list_sum(list_transform(list_zip(s.qe, c.cvec),
+                                     p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn
+    FROM {src} s CROSS JOIN {cent} c) WHERE rn = 1
+)"""
+
+
+def _SQL_KM_UPDATE(assign: str, prev: str, out: str) -> str:
+    """One Lloyd update round: exact integer mean (floor) per
+    coordinate; empty clusters keep their previous centroid."""
+    return f"""{out}_u AS (
+  SELECT cid, list(val ORDER BY i) AS cvec FROM (
+    SELECT cid, i, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS val
+    FROM (SELECT cid, unnest(qe) AS v, unnest(range(1, len(qe)+1)) AS i
+          FROM {assign})
+    GROUP BY cid, i) GROUP BY cid
+),
+{out} AS (
+  SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN {out}_u u USING (cid)
+)"""
+
+
+@_q(
+    "ann_topk_ivf_kmeans",
+    f"""
+WITH q0 AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+  FROM embeddings
+),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, qe AS cvec
+  FROM (SELECT vec_id, qe FROM q0 ORDER BY vec_id LIMIT 4)
+),
+{_SQL_KM_ASSIGN("q0", "init", "a1")},
+{_SQL_KM_UPDATE("a1", "init", "c1")},
+{_SQL_KM_ASSIGN("q0", "c1", "a2")},
+{_SQL_KM_UPDATE("a2", "c1", "c2")},
+{_SQL_KM_ASSIGN("q0", "c2", "fa")},
+cb AS (SELECT q0.vec_id, q0.embedding, fa.cid FROM q0 JOIN fa USING (vec_id)),
+qb AS (SELECT vec_id AS q_id, embedding AS q_emb, cid FROM cb WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.q_id, c.vec_id, {_SQL_COS_QC} AS cos
+  FROM qb q JOIN cb c ON q.cid = c.cid AND q.q_id <> c.vec_id
+)
+SELECT q_id, vec_id, cos, CAST(rank_pos AS BIGINT) AS rank_pos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+           AS rank_pos
+  FROM scored)
+WHERE rank_pos <= 10
+""",
+)
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: 2 Lloyd iterations of
+    fixed-point k-means (integer sums → order-independent → the
+    trained centroids are bit-identical in Spark and the SQL oracle),
+    then per-cell probing identical to ann_topk_ivf."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = similarity.ivf_kmeans_topk(
+        queries, embs, k=10, n_clusters=4, iterations=2
+    )
+    return out.withColumn("rank_pos", F.col("rank_pos").cast("long"))

@@ -137,3 +137,139 @@ def ivf_topk(
         .where(F.col("rank_pos") <= k)
         .select(q_id, c_id, F.col("cos"), "rank_pos")
     )
+
+
+# -- trained coarse quantizer (k-means IVF) -----------------------------------
+
+def quantize_expr(emb: Column, scale: int = 1_000_000) -> Column:
+    """Fixed-point copy of an embedding: floor(x · scale) as long.
+
+    All k-means arithmetic below runs on these integers so the trained
+    centroids are bit-identical across engines: integer sums are
+    order-independent (unlike float sums, whose partial-aggregation
+    order differs between Spark and any oracle), and the one double
+    step (mean) is floor()ed back to int64 — IEEE-identical given
+    identical inputs. Precision loss vs true k-means is 1e-6 per
+    coordinate, irrelevant for a coarse 4..65536-cell quantizer."""
+    return F.transform(
+        emb, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
+def _sqdist_expr(a: Column, b: Column) -> Column:
+    """Integer squared L2 distance of two long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_expr(q: DataFrame, centroids: DataFrame, vid: str = "_vid") -> DataFrame:
+    """(vid, cid): each quantized vector to its nearest centroid
+    (integer sqdist, tie-break on cid). Centroids are tiny → broadcast;
+    min_by aggregates with map-side partials, so the only shuffle
+    carries one row per vector."""
+    scored = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_d", _sqdist_expr(F.col("_qe"), F.col("cvec"))
+    )
+    return scored.groupBy(vid).agg(
+        F.min_by("cid", F.struct("_d", "cid")).alias("cid")
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_clusters: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd's k-means over fixed-point embeddings: (cid, cvec) with
+    cvec array<long>. Deterministic end to end — init = the n_clusters
+    smallest ids' vectors, assignment ties break on cid, the centroid
+    update is an exact integer mean (floor), and a cluster that loses
+    all members keeps its previous centroid. Each iteration is one
+    broadcast-assign (map + per-vector reduce) and one
+    posexplode/groupBy mean — no driver-side data, no RNG."""
+    q = vectors.select(
+        F.col(id_col).alias("_vid"), quantize_expr(F.col(emb_col), scale).alias("_qe")
+    )
+    w = Window.orderBy("_vid")
+    centroids = (
+        q.orderBy("_vid")
+        .limit(n_clusters)
+        .select(F.row_number().over(w).alias("cid"), F.col("_qe").alias("cvec"))
+    )
+    for _ in range(iterations):
+        assigned = _assign_expr(q, centroids).join(q, "_vid")
+        updated = (
+            assigned.select("cid", F.posexplode("_qe").alias("i", "v"))
+            .groupBy("cid", "i")
+            .agg(
+                F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("val")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "val"))),
+                    lambda s: s.getField("val"),
+                ).alias("cvec")
+            )
+        )
+        centroids = centroids.alias("p").join(
+            updated.alias("u"), "cid", "left"
+        ).select(
+            "cid", F.coalesce("u.cvec", "p.cvec").alias("cvec")
+        )
+    return centroids
+
+
+def ivf_kmeans_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    n_clusters: int = 4,
+    iterations: int = 2,
+    q_id: str = "q_id",
+    q_emb: str = "q_emb",
+    c_id: str = "vec_id",
+    c_emb: str = "embedding",
+    scale: int = 1_000_000,
+    partial_reduce: bool = True,
+) -> DataFrame:
+    """IVF probe with a TRAINED coarse quantizer: k-means cells learned
+    from the candidate corpus (kmeans_centroids) instead of the static
+    hyperplane code of `ivf_topk` — same probe-join shape, but cells
+    track the data distribution, so recall at equal cell count is
+    higher on clustered corpora. Scoring (cosine on the original
+    double embeddings), per-partition top-k pre-reduction, and the
+    final per-query window are identical to ivf_topk."""
+    cents = kmeans_centroids(
+        candidates, n_clusters, iterations, c_id, c_emb, scale
+    ).localCheckpoint(eager=True)  # train once; the plan below probes it twice
+    cq = candidates.select(
+        F.col(c_id).alias("_vid"), quantize_expr(F.col(c_emb), scale).alias("_qe")
+    )
+    qq = queries.select(
+        F.col(q_id).alias("_vid"), quantize_expr(F.col(q_emb), scale).alias("_qe")
+    )
+    ca = _assign_expr(cq, cents).withColumnRenamed("_vid", c_id)
+    qa = _assign_expr(qq, cents).withColumnRenamed("_vid", q_id)
+    cb = candidates.join(ca, c_id)
+    qb = queries.join(qa, q_id)
+    joined = cb.join(F.broadcast(qb), "cid").where(F.col(q_id) != F.col(c_id))
+    scored = joined.withColumn(
+        "cos", cosine_expr(F.col(q_emb), F.col(c_emb))
+    ).select(q_id, c_id, "cos")
+    if partial_reduce:
+        scored = _partial_topk(scored, q_id, c_id, k)
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), F.asc(c_id))
+    return (
+        scored.withColumn("rank_pos", F.row_number().over(w))
+        .where(F.col("rank_pos") <= k)
+        .select(q_id, c_id, F.col("cos"), "rank_pos")
+    )

@@ -69,3 +69,50 @@ def test_ivf_recall_vs_brute_force(spark):
     ivf_set = {(r.q_id, r.vec_id) for r in ivf}
     recall = len(bf_set & ivf_set) / len(bf_set)
     assert recall >= 0.2  # approximate by design; sanity floor
+
+
+def test_kmeans_centroids_deterministic_and_partitioning(spark):
+    v = _vectors(n=120, dim=6)
+    cands = spark.createDataFrame(
+        [(i, v[i].tolist()) for i in range(len(v))],
+        "vec_id long, embedding array<float>",
+    )
+    c1 = {r.cid: r.cvec for r in similarity.kmeans_centroids(cands, 4, 2).collect()}
+    c2 = {r.cid: r.cvec for r in similarity.kmeans_centroids(cands, 4, 2).collect()}
+    assert c1 == c2  # bit-identical across runs (no RNG, integer sums)
+    assert set(c1) == {1, 2, 3, 4}
+    assert all(len(vec) == 6 for vec in c1.values())
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # two tight far-apart blobs but 3 clusters: one init centroid loses
+    # all members after an update; it must survive with its old vector
+    pts = [(i, [0.001 * i, 0.0]) for i in range(3)] + [
+        (10 + i, [100.0 + 0.001 * i, 0.0]) for i in range(3)
+    ]
+    cands = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    cents = similarity.kmeans_centroids(cands, n_clusters=3, iterations=3)
+    assert cents.count() == 3  # no cluster silently dropped
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    # clustered corpus: k-means cells should give decent recall
+    rng = np.random.default_rng(3)
+    centers = rng.normal(scale=5.0, size=(4, 8))
+    v = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(50, 8)) for c in centers]
+    ).astype(np.float32)
+    cands = spark.createDataFrame(
+        [(i, v[i].tolist()) for i in range(len(v))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, v[i].tolist()) for i in range(0, 200, 40)],
+        "q_id long, q_emb array<float>",
+    )
+    bf = similarity.brute_force_topk(queries, cands, k=10).collect()
+    km = similarity.ivf_kmeans_topk(queries, cands, k=10, n_clusters=4).collect()
+    bf_set = {(r.q_id, r.vec_id) for r in bf}
+    km_set = {(r.q_id, r.vec_id) for r in km}
+    # approximate by design: cosine neighbors can straddle L2 blobs
+    assert len(bf_set & km_set) / len(bf_set) >= 0.8
