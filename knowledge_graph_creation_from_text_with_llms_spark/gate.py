@@ -793,11 +793,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- 12. minhash LSH -------------------------------------------------------------
 
 _MH_SQL_SIGS = """
+hs AS (
+  SELECT doc_id,
+         list_transform(sh, x -> md5('0|' || x)) AS h0,
+         list_transform(sh, x -> md5('1|' || x)) AS h1
+  FROM shingles
+),
 sigs AS (
   SELECT doc_id,
-    [list_aggregate(list_transform(sh, x -> md5(CAST(h AS VARCHAR) || '|' || x)), 'min')
-     FOR h IN range(8)] AS mh
-  FROM shingles
+    [list_aggregate(list_transform(h0, h -> substr(h, 1 + 8 * j, 8)), 'min')
+     FOR j IN range(4)] ||
+    [list_aggregate(list_transform(h1, h -> substr(h, 1 + 8 * j, 8)), 'min')
+     FOR j IN range(4)] AS mh
+  FROM hs
 ),
 bands AS (
   SELECT doc_id, unnest(range(4)) AS band_id,

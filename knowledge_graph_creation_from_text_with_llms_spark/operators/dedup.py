@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import minhash_expr
 from ..functions.text import tokens_expr, word_shingles_expr
 
 
@@ -48,18 +47,34 @@ def minhash_band_keys(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, band_id, band_key) — LSH bucketing keys. band_key is the
-    concat of rows_per_band adjacent minhash signatures."""
-    # materialize the shingle array once — referencing
-    # word_shingles_expr inside each signature would re-run the
-    # tokenize+transform pipeline num_hashes times (no CSE across
+    concat of rows_per_band adjacent minhash signatures.
+
+    Signatures come 4 per md5 (functions.hashing.sliced_min_expr): each
+    non-overlapping 32-bit slice of a keyed md5 is an independent
+    uniform hash, so num_hashes signatures cost ceil(num_hashes/4)
+    digests per shingle instead of num_hashes — the digest work is the
+    dominant map-side cost of this operator."""
+    from ..functions.hashing import SLICES_PER_MD5, md5_group_expr, sliced_min_expr
+
+    # materialize the shingle array, then the md5 arrays, each ONCE —
+    # referencing the builder expressions inside every signature would
+    # re-run the tokenize/digest pipeline per signature (no CSE across
     # independent higher-order expressions; ~8x the scan cost)
     with_sh = docs.select(
         F.col(id_col), word_shingles_expr(text_col, shingle_n).alias("_sh")
     )
+    n_groups = (num_hashes + SLICES_PER_MD5 - 1) // SLICES_PER_MD5
+    with_h = with_sh.select(
+        F.col(id_col),
+        *[md5_group_expr(F.col("_sh"), g).alias(f"_h{g}") for g in range(n_groups)],
+    )
     sigs = [
-        minhash_expr(F.col("_sh"), i).alias(f"_mh{i}") for i in range(num_hashes)
+        sliced_min_expr(
+            F.col(f"_h{i // SLICES_PER_MD5}"), i % SLICES_PER_MD5
+        ).alias(f"_mh{i}")
+        for i in range(num_hashes)
     ]
-    with_sigs = with_sh.select(F.col(id_col), *sigs).where(
+    with_sigs = with_h.select(F.col(id_col), *sigs).where(
         F.col("_mh0").isNotNull()
     )
     bands = num_hashes // rows_per_band
@@ -120,20 +135,32 @@ def minhash_lsh_pairs(
     max_bucket_size=None for the uncapped join.
     """
     bands = minhash_band_keys(docs, id_col, text_col, num_hashes, rows_per_band, shingle_n)
+    # one groupBy produces the bucket member arrays; the size cap and
+    # the pair generation both read that single aggregate — the
+    # band-key map (tokenize + digest, the operator's dominant
+    # map-side cost) runs ONCE, where the pre-agg + self-join form
+    # recomputed it three times (cap count, left side, right side).
+    # Arrays are bounded by max_bucket_size, so collect_list is safe.
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
     if max_bucket_size is not None:
-        ok = (
-            bands.groupBy("band_id", "band_key")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
-            .where(F.col("_bsz") <= max_bucket_size)
-            .select("band_id", "band_key")
+        buckets = buckets.where(F.size("_ids") <= max_bucket_size)
+    ids = F.array_sort("_ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        bands = bands.join(ok, ["band_id", "band_key"])
-    a = bands.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a"))
-    b = bands.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b"))
+    )
     cand = (
-        a.join(b, ["band_id", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
     sh = docs.select(
