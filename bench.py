@@ -148,6 +148,7 @@ def main() -> None:
         "corpus_split",
         "text_contamination",
         "ann_topk_ivf_kmeans",
+        "text_bpe_tokens",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

@@ -1982,3 +1982,69 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, embs, k=10, n_clusters=4, iterations=2
     )
     return out.withColumn("rank_pos", F.col("rank_pos").cast("long"))
+
+
+# -- 23. BPE tokenizer: distributed merge learning + application -----------------
+
+from .operators import bpe  # noqa: E402
+
+_BPE_ROUNDS = 12
+
+
+def _SQL_BPE(rounds: int) -> str:
+    """Unrolled Lloyd-style learning loop: round r = one MATERIALIZED
+    pair-count argmax CTE (b{r}) + one vocabulary rewrite CTE (v{r}).
+    chr(1) is the no-op pattern once no pair occurs twice (it can never
+    appear in [a-z0-9 ] symbol strings), mirroring learn_bpe's early
+    stop."""
+    parts = [
+        f"""v0 AS MATERIALIZED (
+  SELECT w, rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS syms, cnt FROM (
+    SELECT w, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest({TOK}) AS w FROM documents) GROUP BY w)
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""b{r} AS MATERIALIZED (
+  SELECT coalesce((SELECT pair FROM (
+    SELECT a || ' ' || b AS pair, sum(cnt) AS c
+    FROM (SELECT unnest(ws[1:len(ws)-1]) AS a, unnest(ws[2:len(ws)]) AS b, cnt
+          FROM (SELECT string_split(syms, ' ') AS ws, cnt FROM v{r - 1})
+          WHERE len(ws) >= 2)
+    GROUP BY a, b HAVING sum(cnt) >= 2
+    ORDER BY c DESC, pair ASC LIMIT 1)), chr(1)) AS pat
+),
+v{r} AS MATERIALIZED (
+  SELECT w,
+         replace(syms, (SELECT pat FROM b{r}),
+                 replace((SELECT pat FROM b{r}), ' ', '')) AS syms,
+         cnt
+  FROM v{r - 1}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@_q(
+    "text_bpe_tokens",
+    f"""
+WITH {_SQL_BPE(_BPE_ROUNDS)}
+SELECT d.doc_id,
+       CAST(sum(len(string_split(v.syms, ' '))) AS BIGINT) AS n_bpe_tokens,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM (SELECT doc_id, unnest({TOK}) AS w FROM documents) d
+JOIN v{_BPE_ROUNDS} v USING (w)
+GROUP BY d.doc_id
+""",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-accurate per-document token counts: learn {_BPE_ROUNDS}
+    merges on the corpus word vocabulary (one corpus scan; every
+    learning round aggregates the vocabulary only), then broadcast-join
+    the encoded vocabulary back onto the corpus tokens. The oracle
+    unrolls the full learning loop in SQL, so the learned merges — not
+    just the application — are verified bit-exactly."""
+    docs = _docs(spark, sf_dir)
+    _, vocab = bpe.learn_bpe(docs, num_merges=_BPE_ROUNDS)
+    return bpe.bpe_token_stats(docs, vocab)
