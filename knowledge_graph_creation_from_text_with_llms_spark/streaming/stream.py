@@ -194,3 +194,52 @@ def stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOCS_STREAM_DDL = "doc_id long, text string, ts timestamp"
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    watermark_delay: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Streaming exact deduplication: emit each distinct document text
+    ONCE across the whole stream (within the watermark horizon), keyed
+    by md5(text).
+
+    `dropDuplicatesWithinWatermark` keeps one state row per content
+    hash and expires it once the event-time watermark passes — state
+    stays bounded by the dedup horizon instead of growing with the
+    stream (the unbounded-state failure mode of plain dropDuplicates
+    on an infinite stream). The state store is checkpointed: after a
+    kill/restart, re-delivered source files do NOT re-emit documents
+    already seen — the streaming analogue of the batch
+    `dedup.exact_duplicates` survivor contract.
+    """
+    raw = (
+        spark.readStream.schema(DOCS_STREAM_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .json(source_dir)
+    )
+    docs = raw.select(
+        F.md5("text").alias("content_md5"),
+        F.col("doc_id"),
+        F.col("text"),
+        F.col("ts").alias("event_ts"),
+    )
+    deduped = docs.withWatermark(
+        "event_ts", watermark_delay
+    ).dropDuplicatesWithinWatermark(["content_md5"])
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -134,3 +134,50 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     )
     assert len(rows) == 2
     assert rows[1].n_events == 1  # the tail session [02:00, 02:00]
+
+
+def test_stream_dedup_exact_across_restarts(spark, tmp_path):
+    """Watermarked streaming dedup: identical texts emit once within a
+    run AND across a checkpointed restart (state survives); texts
+    arriving after the watermark horizon may re-emit by contract."""
+    import json as _json
+    import os as _os
+
+    from knowledge_graph_creation_from_text_with_llms_spark.streaming.stream import (
+        stream_dedup_exact,
+    )
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    _os.makedirs(src, exist_ok=True)
+
+    def _write(name, rows):
+        with open(_os.path.join(src, name), "w") as f:
+            for doc_id, text, ts in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text, "ts": ts}) + "\n")
+
+    _write(
+        "a.json",
+        [
+            (1, "alpha text", "2024-01-01T00:00:00Z"),
+            (2, "beta text", "2024-01-01T00:01:00Z"),
+            (3, "alpha text", "2024-01-01T00:02:00Z"),  # dup of 1
+        ],
+    )
+    q = stream_dedup_exact(spark, src, ckpt, out, watermark_delay="1 hour")
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).collect()
+    assert sorted(r.text for r in first) == ["alpha text", "beta text"]
+
+    # restart with new files: another "alpha text" within the horizon
+    # must NOT re-emit (state restored from checkpoint); "gamma" must
+    _write(
+        "b.json",
+        [
+            (4, "alpha text", "2024-01-01T00:03:00Z"),
+            (5, "gamma text", "2024-01-01T00:04:00Z"),
+        ],
+    )
+    q2 = stream_dedup_exact(spark, src, ckpt, out, watermark_delay="1 hour")
+    q2.awaitTermination(120)
+    texts = sorted(r.text for r in spark.read.parquet(out).collect())
+    assert texts == ["alpha text", "beta text", "gamma text"]
