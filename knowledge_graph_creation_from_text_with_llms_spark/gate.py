@@ -2048,3 +2048,66 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     _, vocab = bpe.learn_bpe(docs, num_merges=_BPE_ROUNDS)
     return bpe.bpe_token_stats(docs, vocab)
+
+
+# -- 24. PageRank (fixed-point) over the KG entity graph -------------------------
+
+_PR_ITERS = 3
+_PR_SCALE = 10**12
+_PR_D = 85
+
+
+def _SQL_PR(rounds: int) -> str:
+    """Unrolled fixed-point PageRank rounds: r{i} from r{i-1} via one
+    contribution join + incoming sum; all arithmetic int64 (// is
+    integer division on BIGINTs, same truncation as Spark's DIV for
+    the non-negative ranks here)."""
+    base = (100 - _PR_D) * _PR_SCALE
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT DISTINCT src_id AS src, dst_id AS dst FROM edges
+  WHERE NOT is_literal AND src_id <> dst_id
+),
+pr_nodes AS MATERIALIZED (
+  SELECT DISTINCT node_id FROM (
+    SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e)
+),
+odeg AS MATERIALIZED (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT node_id, CAST({_PR_SCALE} AS BIGINT) AS rank_int FROM pr_nodes
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""inc{i} AS MATERIALIZED (
+  SELECT e.dst AS node_id, sum(r.rank_int // o.odeg) AS s
+  FROM e JOIN r{i - 1} r ON e.src = r.node_id JOIN odeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+r{i} AS MATERIALIZED (
+  SELECT n.node_id,
+         (CAST({base} AS BIGINT)
+          + {_PR_D} * coalesce(inc{i}.s, CAST(0 AS BIGINT))) // 100 AS rank_int
+  FROM pr_nodes n LEFT JOIN inc{i} USING (node_id)
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@_q(
+    "kg_pagerank",
+    f"""
+WITH {SQL_EDGES.lstrip()},
+{_SQL_PR(_PR_ITERS)}
+SELECT node_id, rank_int,
+       CAST(rank_int AS DOUBLE) / {float(_PR_SCALE)} AS rank
+FROM r{_PR_ITERS}
+""",
+)
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank ({_PR_ITERS} rounds) over the KG entity
+    graph — integer contributions make every rank bit-identical across
+    engines (no float-sum ordering sensitivity); oracle unrolls the
+    rounds."""
+    edges = _edges(_docs(spark, sf_dir)).where(~F.col("is_literal"))
+    return graph.pagerank(edges, iterations=_PR_ITERS)

@@ -302,3 +302,78 @@ def triangle_counts(
         .groupBy("node_id")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank over the directed simple graph of `edges`, in
+    fixed-point integer arithmetic: (node_id, rank_int, rank) where
+    rank = rank_int / scale and the initial mass is `scale` per node.
+
+    Why integers: float PageRank sums contributions in whatever order
+    the engine's partial aggregation chooses — results differ at the
+    ulp level between runs/engines. Here every step is int64
+    (contribution = rank DIV out_degree; update =
+    (100-d)·scale + d·Σ, all DIV 100), so sums are order-independent
+    and the ranks are bit-identical anywhere — including the unrolled
+    SQL oracle (gate.kg_pagerank). Precision cost ≤ out_degree
+    round-down units of 1/scale per node per round.
+
+    Semantics: the simplified large-scale variant — dangling-node mass
+    is dropped, not redistributed (totals shrink; relative order is
+    what downstream consumers use). Overflow bound: d·Σ ≤ 85 · N ·
+    scale must stay under 2^63 → N ≤ ~10^5 at the default scale; lower
+    `scale` for bigger graphs (10^9 supports N ≈ 10^8).
+
+    Each iteration is one key-partitioned join (ranks onto edge
+    sources) + one aggregation (incoming sums) — the canonical
+    BSP-as-DataFrame plan; no driver-side data, no floats until the
+    final cosmetic division.
+    """
+    e = (
+        edges.where(F.col(src_col) != F.col(dst_col))
+        .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionAll(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    base = (100 - damping_pct) * scale
+    ranks = nodes.withColumn("rank_int", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.src == ranks.node_id)
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("node_id"),
+                F.expr("rank_int DIV odeg").alias("c"),
+            )
+        )
+        incoming = contrib.groupBy("node_id").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(incoming, "node_id", "left")
+            .select(
+                "node_id",
+                F.expr(
+                    f"(CAST({base} AS BIGINT) + {damping_pct}"
+                    " * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
+                ).alias("rank_int"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node_id",
+        "rank_int",
+        (F.col("rank_int") / F.lit(float(scale))).alias("rank"),
+    )

@@ -140,3 +140,29 @@ def test_triangle_counts_hand_graph(spark):
 
     got = {r.node_id: r.triangles for r in graph.triangle_counts(edges).collect()}
     assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_pagerank_hand_graph(spark):
+    """Star a->b, a->c, b->c, isolated pair d<->e; fixed-point 1-round
+    hand check plus sink dominance after 3 rounds."""
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"), ("e", "d")],
+        "src_id string, dst_id string",
+    )
+    S = 10**12
+    r1 = {r.node_id: r.rank_int for r in graph.pagerank(edges, iterations=1).collect()}
+    # after 1 round: a gets no inflow -> (15*S + 0)/100
+    assert r1["a"] == (15 * S) // 100
+    # b <- a/2 : (15S + 85*(S//2))//100
+    assert r1["b"] == (15 * S + 85 * (S // 2)) // 100
+    # c <- a/2 + b/1
+    assert r1["c"] == (15 * S + 85 * ((S // 2) + S)) // 100
+    # d <-> e swap full mass: rank stays S (within rounding)
+    assert abs(r1["d"] - S) <= 100 and r1["d"] == r1["e"]
+    r3 = {r.node_id: r.rank_int for r in graph.pagerank(edges, iterations=3).collect()}
+    assert r3["c"] > r3["b"] > r3["a"]  # sink of the chain dominates
+    # determinism: bit-identical across runs
+    again = {r.node_id: r.rank_int for r in graph.pagerank(edges, iterations=3).collect()}
+    assert r3 == again
