@@ -150,6 +150,7 @@ def main() -> None:
         "ann_topk_ivf_kmeans",
         "text_bpe_tokens",
         "kg_pagerank",
+        "text_length_percentiles",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

@@ -2111,3 +2111,31 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds."""
     edges = _edges(_docs(spark, sf_dir)).where(~F.col("is_literal"))
     return graph.pagerank(edges, iterations=_PR_ITERS)
+
+
+# -- 25. exact per-group percentiles ---------------------------------------------
+
+
+@_q(
+    "text_length_percentiles",
+    """
+WITH ranked AS (
+  SELECT source, n_chars AS v,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       min(CASE WHEN rn >= ceil(0.5e0 * n) THEN v END) AS p50,
+       min(CASE WHEN rn >= ceil(0.9e0 * n) THEN v END) AS p90,
+       min(CASE WHEN rn >= ceil(0.99e0 * n) THEN v END) AS p99,
+       CAST(max(n) AS BIGINT) AS n_rows
+FROM ranked GROUP BY source
+""",
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 document length per source — explicit
+    rank-based percentile_disc (engine-agnostic tie/interpolation
+    semantics; built-in quantile functions differ across engines)."""
+    docs = _docs(spark, sf_dir)
+    return textstats.group_percentiles(docs, "n_chars", "source")

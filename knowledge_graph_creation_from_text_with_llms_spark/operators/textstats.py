@@ -281,3 +281,44 @@ def scrub_pii(
     return docs.select(
         F.col(id_col), scrubbed.alias("text_scrubbed"), *counts
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact discrete percentiles of `value_col` per group: for each p,
+    the smallest value whose rank reaches ceil(p·n) (percentile_disc
+    semantics, made explicit so every engine computes the identical
+    value — built-in quantile functions disagree on interpolation and
+    tie handling across engines).
+
+    One shuffle (the per-group sort window); tie-robust: `min(value
+    WHERE rank >= ceil(p·n))` picks the same value regardless of how
+    row_number breaks ties between equal values. For percentiles of a
+    100 TB column use this per-partition-group; a global percentile
+    over one giant group should use approx_percentile instead (exact
+    global ranks need a full sort)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_rn") >= F.ceil(F.lit(p) * F.col("_n")), F.col("_v")
+            )
+        ).alias(f"p{str(p).replace('0.', '').ljust(2, '0')}")
+        for p in ps
+    ]
+    return ranked.groupBy(group_col).agg(
+        *aggs, F.max("_n").cast("long").alias("n_rows")
+    )

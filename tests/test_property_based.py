@@ -121,3 +121,27 @@ def test_spark_writer_parse_matches_python_on_random_corpus(spark):
         for r in parser.parse_responses(df).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_group_percentiles_exact_vs_numpy_disc(spark):
+    """group_percentiles == discrete percentile (smallest value with
+    cume rank >= p) on random multisets with heavy ties."""
+    import numpy as np
+
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import textstats
+
+    rng = np.random.default_rng(11)
+    rows = [
+        ("g1", int(v)) for v in rng.integers(0, 20, size=173)
+    ] + [("g2", int(v)) for v in rng.integers(0, 5, size=57)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r.source: r for r in textstats.group_percentiles(df, "n_chars", "source").collect()}
+    for g in ("g1", "g2"):
+        vals = sorted(v for s, v in rows if s == g)
+        n = len(vals)
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            import math
+
+            expect = vals[math.ceil(p * n) - 1]
+            assert got[g][col] == expect, (g, p)
+        assert got[g]["n_rows"] == n
