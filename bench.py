@@ -151,6 +151,7 @@ def main() -> None:
         "text_bpe_tokens",
         "kg_pagerank",
         "text_length_percentiles",
+        "events_funnel",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

@@ -640,8 +640,8 @@ def kg_metrics_rougel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kg_metrics_rougel_nostem",
     f"""
 WITH RECURSIVE {_SQL_RAW_BIGRAMS.lstrip()},
-gen AS (SELECT DISTINCT subj, pred, obj FROM raw WHERE doc_id % 50 = 0),
-gtd AS (SELECT DISTINCT subj, pred, obj FROM raw WHERE doc_id % 75 = 0),
+gen AS (SELECT DISTINCT subj, pred, obj FROM raw WHERE doc_id % 250 = 0),
+gtd AS (SELECT DISTINCT subj, pred, obj FROM raw WHERE doc_id % 3750 = 0),
 g AS (
   SELECT md5(subj || pred || obj) AS gid, subj, pred, obj,
          regexp_extract_all(lower(subj || ' ' || pred || ' ' || obj),
@@ -688,10 +688,22 @@ def kg_metrics_rougel_nostem(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is verified bit-exactly against a recursive-CTE DP oracle —
     upgrading ROUGE-L from the rows-only check `kg_metrics_rougel`
     (whose Porter-stemmed scorer stays pandas-UDF) to a hash-verified
-    gate."""
+    gate. Sampling shape matches the metric's real use: many generated
+    triples (%250) against a SMALL ground-truth set (%3750 — a handful
+    of docs): best-match ROUGE-L is intrinsically O(|gen|·|gt|) pair
+    scoring (as in the reference, whose GT is hand-annotated and
+    small), so |gt| is the lever that keeps the quadratic bounded."""
     tr = _triples_raw(_docs(spark, sf_dir))
-    gen = tr.where(F.col("doc_id") % 50 == 0).select("subj", "pred", "obj")
-    gt = tr.where(F.col("doc_id") % 75 == 0).select("subj", "pred", "obj")
+    # one pass over the triples chain for BOTH eval sides (separate
+    # gen/gt filters would re-derive the doc→bigram→group chain twice);
+    # the checkpointed slice is eval-set sized, i.e. tiny
+    flagged = (
+        tr.where((F.col("doc_id") % 250 == 0) | (F.col("doc_id") % 3750 == 0))
+        .select("doc_id", "subj", "pred", "obj")
+        .localCheckpoint(eager=True)
+    )
+    gen = flagged.where(F.col("doc_id") % 250 == 0).select("subj", "pred", "obj")
+    gt = flagged.where(F.col("doc_id") % 3750 == 0).select("subj", "pred", "obj")
     return metrics.rouge_l_best(gen, gt)
 
 
@@ -2139,3 +2151,39 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics; built-in quantile functions differ across engines)."""
     docs = _docs(spark, sf_dir)
     return textstats.group_percentiles(docs, "n_chars", "source")
+
+
+# -- 26. ordered funnel conversion over events ------------------------------------
+
+
+@_q(
+    "events_funnel",
+    """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+)
+SELECT 1 AS stage_idx, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase ordered funnel (earliest-match,
+    strictly-after semantics); per stage one filtered min-aggregation
+    + user-key join — no full-table window, no per-user collection."""
+    return events.funnel_stages(
+        _events(spark, sf_dir), ("view", "click", "purchase")
+    )

@@ -102,3 +102,47 @@ def user_gap_stats(events: DataFrame) -> DataFrame:
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+def funnel_stages(
+    events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered-funnel conversion: one row per stage with the number of
+    users who completed the funnel UP TO that stage in event-time
+    order — stage k counts users with some stage-k event strictly
+    after their earliest qualifying stage-(k-1) event (earliest-match
+    semantics, the standard product-analytics funnel).
+
+    Plan: per stage, one filtered min-aggregation over (user, stage
+    events after the previous stage's qualifying time) — k-1 key-
+    partitioned joins on user_id for a k-stage funnel, no window over
+    the full event table, no per-user event collection (a hot user
+    with 10⁸ events costs its aggregation groups, never a wide row).
+    Ties: an equal timestamp does NOT advance the funnel (strictly
+    after), deterministic under event-time duplicates.
+    """
+    reached = (
+        events.where(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t"))
+    )
+    counts = [(stages[0], reached)]
+    for stage in stages[1:]:
+        nxt = (
+            events.where(F.col("event_type") == stage)
+            .join(reached.select("user_id", F.col("_t").alias("_prev")), "user_id")
+            .where(F.col("ts") > F.col("_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("_t"))
+        )
+        counts.append((stage, nxt))
+        reached = nxt
+    out = None
+    for i, (stage, df) in enumerate(counts):
+        row = df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i + 1).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -273,6 +273,11 @@ def triangle_counts(
             F.greatest(src_col, dst_col).alias("v"),
         )
         .distinct()
+        # the oriented edge list is read three times below (two wedge
+        # sides + the closing probe); checkpoint the deduped edges so
+        # the upstream lineage (often a full build_edges chain) runs
+        # once instead of three times
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("n"))

@@ -62,3 +62,29 @@ def test_user_gap_stats(spark):
     assert out[1].min_gap_us == 10 * 60 * 1_000_000
     assert out[1].max_gap_us == 40 * 60 * 1_000_000
     assert out[2].min_gap_us is None  # single event → no gaps
+
+
+def test_funnel_stages_hand_events(spark):
+    from datetime import datetime as dt
+
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import events as ev
+
+    rows = [
+        # u1 completes the funnel in order
+        (1, 1, "view", dt(2024, 1, 1, 0, 0)),
+        (2, 1, "click", dt(2024, 1, 1, 0, 5)),
+        (3, 1, "purchase", dt(2024, 1, 1, 0, 9)),
+        # u2 clicks BEFORE viewing: click must not count
+        (4, 2, "click", dt(2024, 1, 1, 0, 0)),
+        (5, 2, "view", dt(2024, 1, 1, 0, 1)),
+        # u3 view+click at the SAME ts: strictly-after → no advance
+        (6, 3, "view", dt(2024, 1, 1, 0, 0)),
+        (7, 3, "click", dt(2024, 1, 1, 0, 0)),
+        # u4 never views
+        (8, 4, "purchase", dt(2024, 1, 1, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {r.stage: (r.stage_idx, r.n_users) for r in ev.funnel_stages(df).collect()}
+    assert got == {"view": (1, 3), "click": (2, 1), "purchase": (3, 1)}
