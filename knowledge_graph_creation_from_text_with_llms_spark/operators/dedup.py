@@ -423,3 +423,100 @@ def dedup_groups(
             F.array_sort(F.collect_list("id")).alias("members"),
         )
     )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    prior_bands: DataFrame,
+    prior_shingles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 500,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental near-dup detection: pairs touching the DELTA only.
+
+    The banded signature table IS a reusable LSH index: a corpus's
+    `minhash_band_keys` output (and its distinct shingle sets) can be
+    snapshotted once and probed by every subsequent delta — the 100 TB
+    prior corpus is never re-tokenized or re-hashed. Returns
+    (pairs, new_bands, new_shingles):
+
+    - pairs: (id_a, id_b, jaccard) where at least one side is a delta
+      doc — delta×prior collisions AND delta×delta collisions, exact
+      Jaccard verified, identical to the pairs a full re-run would
+      emit that touch the delta (tests assert this equivalence).
+    - new_bands / new_shingles: the delta's index rows; append them to
+      the snapshots to fold the delta into the index for the next run.
+
+    The bucket cap applies to the COMBINED bucket (prior + delta
+    members), same audit contract as the batch operator.
+    """
+    new_bands = minhash_band_keys(
+        new_docs, id_col, text_col, num_hashes, rows_per_band, shingle_n
+    )
+    new_shingles = new_docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles_expr(text_col, shingle_n)).alias("_sh"),
+    )
+    nb = new_bands.select("band_id", "band_key", F.col(id_col).alias("_id")).withColumn(
+        "_new", F.lit(True)
+    )
+    pb = prior_bands.select(
+        "band_id", "band_key", F.col(id_col).alias("_id")
+    ).withColumn("_new", F.lit(False))
+    buckets = (
+        nb.unionByName(pb)
+        .groupBy("band_id", "band_key")
+        .agg(
+            F.collect_list(F.struct("_id", "_new")).alias("_members"),
+        )
+        # only buckets a delta doc landed in can yield NEW pairs
+        .where(F.exists("_members", lambda m: m.getField("_new")))
+        .where(F.size("_members") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("_members") <= max_bucket_size)
+    members = F.array_sort("_members")  # struct sort: by _id, then _new
+    pair_arr = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + F.lit(2), F.size(members)),
+                lambda y: F.struct(
+                    x.getField("_id").alias("id_a"),
+                    y.getField("_id").alias("id_b"),
+                    (x.getField("_new") | y.getField("_new")).alias("touches_new"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("_p"))
+        .where(F.col("_p.touches_new"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    all_sh = new_shingles.unionByName(prior_shingles)
+    j = (
+        cand.join(
+            all_sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            all_sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sa", "_sb"))
+            / F.size(F.array_union("_sa", "_sb")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.col("jaccard"))
+    )
+    return j, new_bands, new_shingles

@@ -209,3 +209,60 @@ def test_dedup_groups_members(spark):
     groups = {r.component: r for r in dedup.dedup_groups(pairs).collect()}
     assert list(groups[5].members) == [5, 6, 7] and groups[5].n_members == 3
     assert list(groups[30].members) == [30, 31]
+
+
+def test_minhash_incremental_equals_full_run(spark):
+    """Delta probed against the prior index must emit exactly the
+    full-run pairs that touch the delta; folding the delta's index
+    rows in and probing a second delta keeps the equivalence."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_creation_from_text_with_llms_spark.functions.text import (
+        word_shingles_expr,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta"
+    prior = mk([
+        (1, base_text),
+        (2, base_text + " iota"),              # near-dup of 1
+        (3, "completely different words entirely here now okay"),
+    ])
+    delta1 = mk([
+        (10, base_text + " kappa"),            # near-dup of 1/2
+        (11, "unrelated fresh content with novel tokens only"),
+        (12, base_text + " kappa"),            # exact dup inside delta
+    ])
+    prior_bands = dedup.minhash_band_keys(prior)
+    prior_sh = prior.select(
+        "doc_id",
+        F.array_distinct(word_shingles_expr("text", 3)).alias("_sh"),
+    )
+    inc_pairs, d_bands, d_sh = dedup.minhash_lsh_pairs_incremental(
+        delta1, prior_bands, prior_sh
+    )
+    got1 = {(r.id_a, r.id_b) for r in inc_pairs.collect()}
+    full = dedup.minhash_lsh_pairs(prior.unionByName(delta1))
+    delta_ids = {10, 11, 12}
+    want1 = {
+        (r.id_a, r.id_b)
+        for r in full.collect()
+        if r.id_a in delta_ids or r.id_b in delta_ids
+    }
+    assert got1 == want1 and got1  # non-trivial: delta×prior + delta×delta
+
+    # fold delta1 into the index, probe delta2
+    prior_bands2 = prior_bands.unionByName(d_bands)
+    prior_sh2 = prior_sh.unionByName(d_sh)
+    delta2 = mk([(20, base_text + " kappa lambda")])
+    inc2, _, _ = dedup.minhash_lsh_pairs_incremental(
+        delta2, prior_bands2, prior_sh2
+    )
+    got2 = {(r.id_a, r.id_b) for r in inc2.collect()}
+    full2 = dedup.minhash_lsh_pairs(prior.unionByName(delta1).unionByName(delta2))
+    want2 = {
+        (r.id_a, r.id_b) for r in full2.collect() if 20 in (r.id_a, r.id_b)
+    }
+    assert got2 == want2 and got2
