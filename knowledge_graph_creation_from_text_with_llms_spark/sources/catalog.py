@@ -165,6 +165,66 @@ class ParquetCatalog:
             os.path.join(self._table_dir(table), f"snapshot={snap}")
         )
 
+    def compact(self, table: str) -> CommitInfo:
+        """Fold every committed snapshot of `table` into one (Iceberg:
+        rewrite_data_files + expire_snapshots). An incremental pipeline
+        appends one snapshot per run; after 10⁴ runs a union read-view
+        fans in across 10⁴ directories of small files. Compaction reads
+        the union once, commits it as a single new snapshot, and drops
+        the inputs — the union read-view is row-identical before and
+        after (asserted in tests/test_pipeline_resume.py).
+
+        Crash contract: the 'compacting' manifest row (listing the
+        folded snapshot ids) lands BEFORE any input is dropped; a crash
+        between the new commit and the drops is recoverable by
+        re-dropping the listed ids (Iceberg does this transactionally —
+        this is the documented divergence of the parquet stand-in).
+        """
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        union = self.read(table, snapshot=snaps[0])
+        for s in snaps[1:]:
+            union = union.unionByName(self.read(table, snapshot=s))
+        t0 = time.time()
+        snap = snaps[-1] + 1
+        d = self._table_dir(table)
+        staging = os.path.join(d, f".staging-{snap}")
+        final = os.path.join(d, f"snapshot={snap}")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        union.write.mode("overwrite").parquet(staging)
+        os.rename(staging, final)
+        rows = _parquet_rows(final)
+        self._append_manifest(
+            {
+                "run_id": os.environ.get("KG_RUN_ID", "local"),
+                "stage": table,
+                "status": "compacting",
+                "rows_in": len(snaps),
+                "rows_out": rows,
+                "snapshot_id": snap,
+                "folded": snaps,
+                "wall_sec": round(time.time() - t0, 3),
+                "updated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+        )
+        for s in snaps:
+            shutil.rmtree(os.path.join(d, f"snapshot={s}"), ignore_errors=True)
+        self._append_manifest(
+            {
+                "run_id": os.environ.get("KG_RUN_ID", "local"),
+                "stage": table,
+                "status": "compacted",
+                "rows_in": len(snaps),
+                "rows_out": rows,
+                "snapshot_id": snap,
+                "wall_sec": round(time.time() - t0, 3),
+                "updated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+        )
+        return CommitInfo(table, snap, rows)
+
     # -- manifest -----------------------------------------------------------
     def _append_manifest(self, row: dict) -> None:
         with open(self._manifest_path(), "a", encoding="utf-8") as f:

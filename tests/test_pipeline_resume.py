@@ -89,3 +89,31 @@ def test_atomic_commit_no_partial_reads(spark, tmp_path):
     assert cat.snapshots("t") == [1, 2]
     assert cat.read("t").count() == 50          # latest snapshot
     assert cat.read("t", snapshot=1).count() == 100  # time travel
+
+
+def test_catalog_compaction_preserves_union_view(spark, tmp_path):
+    """compact() folds N snapshots into one with a row-identical union
+    read-view, a single surviving snapshot, and audited manifest rows."""
+    from knowledge_graph_creation_from_text_with_llms_spark.plans.pipeline import (
+        KGPipeline,
+    )
+    from knowledge_graph_creation_from_text_with_llms_spark.sources.catalog import (
+        ParquetCatalog,
+    )
+
+    cat = ParquetCatalog(str(tmp_path / "cat"), spark)
+    for lo, hi in ((0, 5), (5, 8), (8, 13)):
+        cat.write(spark.range(lo, hi).toDF("id"), "t", stage="t")
+    before = sorted(r.id for r in KGPipeline._read_all(cat, "t").collect())
+    info = cat.compact("t")
+    assert cat.snapshots("t") == [info.snapshot_id]
+    after = sorted(r.id for r in KGPipeline._read_all(cat, "t").collect())
+    assert after == before == list(range(13))
+    statuses = [m["status"] for m in cat.manifest() if m["stage"] == "t"]
+    assert statuses[-2:] == ["compacting", "compacted"]
+    folded = [m for m in cat.manifest() if m["status"] == "compacting"][0]["folded"]
+    assert folded == [1, 2, 3]
+    # incremental append after compaction keeps working
+    cat.write(spark.range(13, 15).toDF("id"), "t", stage="t")
+    again = sorted(r.id for r in KGPipeline._read_all(cat, "t").collect())
+    assert again == list(range(15))
