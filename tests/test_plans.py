@@ -1,0 +1,131 @@
+"""Physical-plan shape assertions.
+
+Correctness gates prove the VALUES; these tests pin the PLANS — the
+properties that decide whether an operator survives a 100× scale-up.
+Each assertion is a named invariant (broadcast where a dictionary is
+small, pushdown reaching the scan, no cartesian product on default
+paths); a regression here means a silent scale-killer re-entered even
+though results still match.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from knowledge_graph_creation_from_text_with_llms_spark.operators import (
+    dedup,
+    linker,
+    similarity,
+    textstats,
+)
+
+
+def _plan(df, execute: bool = False) -> str:
+    if execute:
+        # AQE leaves join strategy undecided until runtime
+        # (isFinalPlan=false); run THIS df's own QueryExecution so the
+        # final plan is real (a write would spawn a separate QE)
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark, n=60):
+    return spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta common tokens here") for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def test_linker_uses_broadcast_join_not_shuffle_join(spark):
+    """Dictionary lookups must broadcast the dictionary: a sort-merge
+    join would shuffle the full fact table on the label key."""
+    docs = _docs(spark)
+    tr = docs.select(
+        "doc_id",
+        F.concat(F.lit("w"), (F.col("doc_id") % 7).cast("string")).alias("subj"),
+        F.lit("precedes").alias("pred"),
+        F.concat(F.lit("w"), (F.col("doc_id") % 5).cast("string")).alias("obj"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    ed = spark.createDataFrame(
+        [(f"Q{i}", f"w{i}", f"w{i}", 0) for i in range(7)],
+        "entity_id string, label string, alias string, rank int",
+    )
+    plan = _plan(linker.link_labels(tr, ed, "subj", "subj_id"), execute=True)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_brute_force_has_no_cartesian_product(spark):
+    """The query side is broadcast — the scored plan must be a
+    BroadcastNestedLoopJoin over the streamed candidates, never a
+    CartesianProduct (which would shuffle both sides)."""
+    v = np.random.default_rng(5).normal(size=(40, 4)).astype(np.float32)
+    cands = spark.createDataFrame(
+        [(i, v[i].tolist()) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    qs = spark.createDataFrame(
+        [(0, v[0].tolist())], "q_id long, q_emb array<float>"
+    )
+    plan = _plan(similarity.brute_force_topk(qs, cands, k=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_dedup_default_paths_have_no_cartesian_product(spark):
+    docs = _docs(spark)
+    for df in (
+        dedup.minhash_lsh_pairs(docs),
+        dedup.embedding_neardup_pairs(
+            spark.createDataFrame(
+                [(1, [0.1, 0.2]), (2, [0.1, 0.2])],
+                "vec_id long, embedding array<float>",
+            )
+        ),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+
+
+def test_map_only_operators_have_no_exchange(spark):
+    """language_id / quality / token_counts / corpus_filter are pure
+    projections: any Exchange in their plan is a regression."""
+    docs = _docs(spark)
+    for fn in (
+        textstats.language_id,
+        textstats.quality_scores,
+        textstats.token_counts,
+    ):
+        plan = _plan(fn(docs))
+        assert "Exchange" not in plan, fn.__name__
+
+
+def test_parquet_scan_prunes_columns_and_pushes_filters(spark, tmp_path):
+    """Reading 2 of 5 columns with a predicate must reach the scan as
+    ReadSchema with only those columns and a PushedFilters entry."""
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"t{i}", "en", "web", i * 10) for i in range(100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .where(F.col("doc_id") > 50)
+        .select("doc_id", "lang")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,50)]" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema and "n_chars" not in read_schema
+
+
+def test_whole_stage_codegen_covers_scalar_pipeline(spark):
+    """The scalar-function families must stay inside whole-stage
+    codegen (no Python evaluation nodes)."""
+    docs = _docs(spark)
+    plan = _plan(textstats.quality_scores(docs))
+    # "*(n)" prefixes mark whole-stage-codegen stages in this string form
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
