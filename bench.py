@@ -152,6 +152,9 @@ def main() -> None:
         "kg_pagerank",
         "text_length_percentiles",
         "events_funnel",
+        "corpus_weighted_sample",
+        "corpus_mix",
+        "corpus_pack_sequences",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

@@ -2187,3 +2187,98 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.funnel_stages(
         _events(spark, sf_dir), ("view", "click", "purchase")
     )
+
+
+# -- 27. quality-weighted sampling / domain mixing / sequence packing ------------
+
+from .operators import packing  # noqa: E402
+
+
+@_q(
+    "corpus_weighted_sample",
+    f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         least(greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 60, 0e0), 1e0) AS rate
+  FROM documents
+)
+SELECT doc_id, source
+FROM scored
+WHERE CAST(('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < CAST(floor(rate * {float(1 << 32)}) AS BIGINT)
+      -- floor, not bare CAST: DuckDB rounds double→BIGINT, Spark truncates
+""",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional deterministic sampling: keep probability =
+    token_count/60 clamped to [0,1] — longer docs kept more often, the
+    CCNet-style curation step, map-only and growth-stable."""
+    docs = _docs(spark, sf_dir)
+    rate = F.least(
+        F.greatest(
+            F.size(tokens_expr("text")).cast("double") / F.lit(60), F.lit(0.0)
+        ),
+        F.lit(1.0),
+    )
+    return sampling.weighted_hash_sample(docs, rate).select("doc_id", "source")
+
+
+@_q(
+    "corpus_pack_sequences",
+    """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 32 AS INTEGER) AS bucket
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens, bucket,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM base
+)
+SELECT doc_id, n_tokens, bucket,
+       (c - n_tokens) // 512 AS pack_id,
+       (c - n_tokens) % 512 AS start_in_pack
+FROM cum
+""",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing (seq_len=512,
+    32 deterministic streams): integer running sums per bucket, so
+    pack assignment is bit-reproducible and per-bucket parallel."""
+    return packing.pack_sequences(
+        _docs(spark, sf_dir), seq_len=512, n_buckets=32
+    )
+
+
+_MIX_WEIGHTS = (("src0", 0.5), ("src1", 0.3), ("src2", 0.2))
+_MIX_TOTAL = float(sum(w for _, w in _MIX_WEIGHTS))
+
+
+@_q(
+    "corpus_mix",
+    f"""
+WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tgt(source, w) AS (VALUES {", ".join(f"('{g}', {w!r})" for g, w in _MIX_WEIGHTS)}),
+ratio AS (
+  SELECT n.source, (tgt.w / {_MIX_TOTAL!r}) / n.n AS r
+  FROM n JOIN tgt USING (source)
+),
+rate AS (SELECT source, r / (SELECT max(r) FROM ratio) AS rate FROM ratio)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rate USING (source)
+WHERE CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < CAST(floor(least(greatest(rate, 0e0), 1e0) * {float(1 << 32)}) AS BIGINT)
+""",
+)
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing toward target weights (src0:src1:src2 = 5:3:2,
+    other sources dropped): the binding group keeps rate 1.0, others
+    thin deterministically — two jobs (tiny count agg + map-only
+    filter), corpus never shuffles."""
+    docs = _docs(spark, sf_dir)
+    return sampling.mix_corpus(docs, dict(_MIX_WEIGHTS)).select(
+        "doc_id", "source"
+    )

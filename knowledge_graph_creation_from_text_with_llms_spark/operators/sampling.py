@@ -79,3 +79,70 @@ def hash_sample(
         raise ValueError("fraction must be in [0, 1]")
     cut = int(fraction * _BUCKETS)
     return df.where(hash_bucket_expr(F.col(id_col), salt) < F.lit(cut))
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    rate_col: str | Column,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic Bernoulli sample with a PER-ROW keep probability
+    (e.g. a quality score in [0,1]): keep iff bucket < rate · 2^32.
+    The quality-proportional downsampling step of data-curation
+    pipelines (CCNet-style quality buckets), with the same
+    growth-stable membership guarantee as `hash_sample` — a row's fate
+    depends only on (salt, id, its own rate), never on other rows.
+    Rates are clamped to [0, 1]; map-only."""
+    rate = F.col(rate_col) if isinstance(rate_col, str) else rate_col
+    clamped = F.least(F.greatest(rate, F.lit(0.0)), F.lit(1.0))
+    cut = (clamped * F.lit(float(_BUCKETS))).cast("long")
+    return df.where(hash_bucket_expr(F.col(id_col), salt) < cut)
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: Mapping[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain mixing: downsample groups so the output composition
+    approaches the target `weights`, keeping every row of the most
+    under-represented (binding) group and none from groups absent in
+    `weights`.
+
+    rate_g = (w_g / n_g) / max_h(w_h / n_h) — the binding group gets
+    rate 1.0, every other group is thinned deterministically
+    (hash-keyed, growth-stable) toward the target ratio. Expected
+    output composition equals `weights` exactly; realized counts
+    fluctuate by the Bernoulli noise of the hash sample.
+
+    Two jobs: a group-count aggregation (tiny result, broadcast back)
+    and the map-only filtered scan. No shuffle of the corpus itself.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("mix weights must sum to a positive value")
+    counts = {
+        r[group_col]: r["n"]
+        for r in docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    ratios = {
+        g: (weights[g] / total) / counts[g]
+        for g in weights
+        if counts.get(g)
+    }
+    if not ratios:
+        raise ValueError("no weighted group present in the corpus")
+    binding = max(ratios.values())
+    rate = None
+    for g, r in ratios.items():
+        branch = F.lit(r / binding)
+        rate = (
+            F.when(F.col(group_col) == g, branch)
+            if rate is None
+            else rate.when(F.col(group_col) == g, branch)
+        )
+    rate = rate.otherwise(F.lit(0.0))
+    return weighted_hash_sample(docs, rate, id_col, salt)

@@ -81,3 +81,57 @@ def test_contamination_flags_and_decontaminate(spark):
     clean = contamination.decontaminate(docs, probes, n=3).collect()
     assert sorted(r.doc_id for r in clean) == [2, 4]
     assert len(clean[0].asDict()) == 2  # schema preserved (doc_id, text)
+
+
+def test_weighted_hash_sample_rate_extremes_and_determinism(spark):
+    docs = _docs(spark, 500).withColumn(
+        "rate", F.when(F.col("doc_id") % 2 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    kept = {r.doc_id for r in sampling.weighted_hash_sample(docs, "rate").collect()}
+    assert kept == {d for d in range(500) if d % 2 == 0}  # rate 1 keeps, 0 drops
+    # out-of-range rates clamp instead of corrupting the cut
+    docs2 = _docs(spark, 50).withColumn("rate", F.lit(7.5))
+    assert sampling.weighted_hash_sample(docs2, "rate").count() == 50
+
+
+def test_mix_corpus_composition_and_binding_group(spark):
+    rows = (
+        [(i, "a", "t") for i in range(1000)]
+        + [(1000 + i, "b", "t") for i in range(100)]
+        + [(2000 + i, "c", "t") for i in range(500)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sampling.mix_corpus(docs, {"a": 0.5, "b": 0.5})
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert "c" not in counts            # unweighted group dropped
+    assert counts["b"] == 100           # binding group: rate 1.0, all kept
+    assert 60 <= counts["a"] <= 140     # thinned toward ~100 (hash noise)
+    # determinism across runs
+    again = sampling.mix_corpus(docs, {"a": 0.5, "b": 0.5})
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_pack_sequences_contract(spark):
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(7))) for i in range(40)],
+        "doc_id long, text string",
+    )  # 7 tokens per doc
+    out = packing.pack_sequences(docs, seq_len=10, n_buckets=4).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert all(r.n_tokens == 7 for r in out)
+    # bucket 0 holds doc_ids 0,4,8,... in order; starts 0,7,14,21 →
+    # packs 0,0,1,2 and offsets 0,7,4,1
+    b0 = [by_id[i] for i in (0, 4, 8, 12)]
+    assert [(r.pack_id, r.start_in_pack) for r in b0] == [
+        (0, 0), (0, 7), (1, 4), (2, 1)
+    ]
+    # no token budget overflow: within a (bucket, pack) the doc START
+    # offsets all lie inside the pack
+    assert all(0 <= r.start_in_pack < 10 for r in out)
