@@ -155,6 +155,7 @@ def main() -> None:
         "corpus_weighted_sample",
         "corpus_mix",
         "corpus_pack_sequences",
+        "code_strip_boilerplate",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

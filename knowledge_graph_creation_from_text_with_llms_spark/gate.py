@@ -2282,3 +2282,45 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mix_corpus(docs, dict(_MIX_WEIGHTS)).select(
         "doc_id", "source"
     )
+
+
+# -- 28. boilerplate line removal over the code corpus ---------------------------
+
+
+@_q(
+    "code_strip_boilerplate",
+    f"""
+WITH {_SQL_CODE},
+lines AS (
+  SELECT doc_id, i - 1 AS pos, ln, md5(ln) AS lh
+  FROM (SELECT doc_id, unnest(ls) AS ln, unnest(range(1, len(ls) + 1)) AS i
+        FROM (SELECT doc_id, string_split(content, chr(10)) AS ls FROM code))
+),
+freq AS (
+  SELECT lh FROM lines GROUP BY lh HAVING count(DISTINCT doc_id) >= 5
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.ln FROM lines l
+  WHERE NOT EXISTS (SELECT 1 FROM freq f WHERE f.lh = l.lh)
+),
+re AS (
+  SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id,
+       coalesce(re.text_clean, '') AS text_clean,
+       CAST(len(string_split(c.content, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(string_split(c.content, chr(10))) AS BIGINT)
+         - coalesce(re.n_kept, 0) AS n_lines_removed
+FROM code c LEFT JOIN re USING (doc_id)
+""",
+)
+def code_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-line boilerplate removal over the code corpus: license
+    headers / duplicated filler lines occurring in >= 5 distinct files
+    are stripped, order preserved — the CCNet line-dedup trick, with
+    the frequent set joined key-partitioned (never collected)."""
+    return textstats.strip_frequent_lines(
+        _code_docs(spark, sf_dir), min_df=5, text_col="content"
+    )

@@ -322,3 +322,59 @@ def group_percentiles(
     return ranked.groupBy(group_col).agg(
         *aggs, F.max("_n").cast("long").alias("n_rows")
     )
+
+
+def strip_frequent_lines(
+    docs: DataFrame,
+    min_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate line removal (the CommonCrawl/CCNet trick): delete
+    every line that occurs in >= min_df DISTINCT documents — nav bars,
+    cookie banners, license headers — keeping order and all other
+    lines. Returns (id, text_clean, n_lines, n_lines_removed).
+
+    Plan: explode lines once, count df per md5(line) (lines join on
+    their 32-hex digest, not the raw string), anti-join the frequent
+    set back, reassemble with a posexplode-order groupBy. Two shuffles
+    (df count, reassembly); the frequent-line set is NOT collected or
+    broadcast — it joins key-partitioned, so a corpus with 10⁹
+    distinct boilerplate lines still works.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_lh", F.md5("line"))
+    freq = (
+        lines.groupBy("_lh")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .where(F.col("_df") >= min_df)
+        .select("_lh")
+    )
+    kept = lines.join(freq, "_lh", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("_n_kept", F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+        )
+    )

@@ -98,3 +98,31 @@ def test_scrub_pii_counts_and_order(spark):
     assert "<EMAIL>" in r.text_scrubbed and "<IP>" in r.text_scrubbed
     assert "<PHONE>" in r.text_scrubbed
     assert "192.168" not in r.text_scrubbed and "@" not in r.text_scrubbed
+
+
+def test_strip_frequent_lines_semantics(spark):
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import textstats
+
+    header = "COMMON LICENSE HEADER"
+    docs = spark.createDataFrame(
+        [
+            (1, header + "\nunique one\n" + header),  # repeated within a doc
+            (2, header + "\nunique two"),
+            (3, header + "\nunique three"),
+            (4, "no boilerplate here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.strip_frequent_lines(docs, min_df=3).collect()}
+    # header in 3 distinct docs → stripped everywhere, incl. both copies in doc 1
+    assert out[1].text_clean == "unique one"
+    assert out[1].n_lines == 3 and out[1].n_lines_removed == 2
+    assert out[2].text_clean == "unique two"
+    assert out[4].text_clean == "no boilerplate here"
+    assert out[4].n_lines_removed == 0
+    # doc reduced to nothing survives with empty text
+    docs2 = spark.createDataFrame(
+        [(i, header) for i in range(5)], "doc_id long, text string"
+    )
+    gone = textstats.strip_frequent_lines(docs2, min_df=3).collect()
+    assert all(r.text_clean == "" and r.n_lines_removed == 1 for r in gone)
