@@ -156,6 +156,7 @@ def main() -> None:
         "corpus_mix",
         "corpus_pack_sequences",
         "code_strip_boilerplate",
+        "media_features",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

@@ -2324,3 +2324,49 @@ def code_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.strip_frequent_lines(
         _code_docs(spark, sf_dir), min_df=5, text_col="content"
     )
+
+
+# -- 29. multimodal feature extraction (mapInPandas plumbing) --------------------
+
+from .operators import multimodal  # noqa: E402
+
+
+@_q(
+    "media_features",
+    """
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         substr(text, 1, 40) AS payload
+  FROM documents
+)
+SELECT media_id, kind, i,
+       CAST(CAST(round(
+         CAST(('0x' || substr(sha256(payload), 2 * i + 1, 2)) AS INTEGER)
+         / 255.0, 6) AS REAL) AS DOUBLE) AS feature
+FROM (SELECT media_id, kind, payload, unnest(range(0, 16)) AS i FROM m)
+""",
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing end-to-end through the REAL
+    mapInPandas stage (per-worker decoder singleton, Arrow batches):
+    the deterministic stand-in decoder (sha256-derived features) is
+    SQL-expressible, so the schema/batch/UDF path itself is
+    hash-verified — the library decode swap-in changes only the
+    singleton, not the verified plumbing."""
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.substring("text", 1, 40).alias("payload"),
+    )
+    out = multimodal.extract_media_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        F.posexplode("features").alias("i", "feature"),
+    ).select("media_id", "kind", "i", F.col("feature").cast("double").alias("feature"))
