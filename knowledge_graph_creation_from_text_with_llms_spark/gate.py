@@ -1774,7 +1774,10 @@ SELECT v AS node_id, CAST(min(h) AS INTEGER) AS hops FROM hops GROUP BY v
 def kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-hop neighborhood of the 'a*' seed entities over the KG edge
     list (literal objects are terminal — they never expand)."""
-    edges = _edges(_docs(spark, sf_dir))
+    # checkpoint the built edge list once: the BFS reads it every hop
+    # and the seeds derivation a third time — without this the full
+    # chunk->link->edges chain re-executes per reference
+    edges = _edges(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     seeds = edges.where(F.col("src_id").startswith("a")).select("src_id")
     return graph.k_hop_neighbors(
         edges.where(~F.col("is_literal")), seeds.withColumnRenamed("src_id", "node_id"), 2
