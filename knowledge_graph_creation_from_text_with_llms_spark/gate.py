@@ -583,13 +583,13 @@ WITH {_SQL_RAW_BIGRAMS.lstrip()},
 gen AS (SELECT DISTINCT subj, pred, obj FROM raw WHERE doc_id % 50 = 0),
 gtd AS (SELECT DISTINCT subj, pred, obj FROM raw WHERE doc_id % 75 = 0),
 g AS (
-  SELECT md5(subj || pred || obj) AS gid, subj, pred, obj,
+  SELECT md5(subj || chr(31) || pred || chr(31) || obj) AS gid, subj, pred, obj,
          regexp_extract_all(lower(subj || ' ' || pred || ' ' || obj),
                             '[a-z0-9]+') AS toks
   FROM gen
 ),
 t AS (
-  SELECT md5(subj || pred || obj) AS tid,
+  SELECT md5(subj || chr(31) || pred || chr(31) || obj) AS tid,
          regexp_extract_all(lower(subj || ' ' || pred || ' ' || obj),
                             '[a-z0-9]+') AS toks
   FROM gtd
@@ -643,7 +643,7 @@ WITH RECURSIVE {_SQL_RAW_BIGRAMS.lstrip()},
 gen AS (SELECT DISTINCT subj, pred, obj FROM raw WHERE doc_id % 250 = 0),
 gtd AS (SELECT DISTINCT subj, pred, obj FROM raw WHERE doc_id % 3750 = 0),
 g AS (
-  SELECT md5(subj || pred || obj) AS gid, subj, pred, obj,
+  SELECT md5(subj || chr(31) || pred || chr(31) || obj) AS gid, subj, pred, obj,
          regexp_extract_all(lower(subj || ' ' || pred || ' ' || obj),
                             '[a-z0-9]+') AS a
   FROM gen
@@ -2114,7 +2114,7 @@ r{i} AS MATERIALIZED (
     f"""
 WITH {SQL_EDGES.lstrip()},
 {_SQL_PR(_PR_ITERS)}
-SELECT node_id, rank_int,
+SELECT node_id, CAST(rank_int AS BIGINT) AS rank_int,
        CAST(rank_int AS DOUBLE) / {float(_PR_SCALE)} AS rank
 FROM r{_PR_ITERS}
 """,
@@ -2242,8 +2242,8 @@ cum AS (
   FROM base
 )
 SELECT doc_id, n_tokens, bucket,
-       (c - n_tokens) // 512 AS pack_id,
-       (c - n_tokens) % 512 AS start_in_pack
+       CAST((c - n_tokens) // 512 AS BIGINT) AS pack_id,
+       CAST((c - n_tokens) % 512 AS BIGINT) AS start_in_pack
 FROM cum
 """,
 )
@@ -2372,4 +2372,11 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         F.posexplode("features").alias("i", "feature"),
-    ).select("media_id", "kind", "i", F.col("feature").cast("double").alias("feature"))
+    ).select(
+        "media_id",
+        "kind",
+        # posexplode's pos is int32; the oracle's range() yields BIGINT —
+        # align so the driver's typed value hash sees identical dtypes
+        F.col("i").cast("long").alias("i"),
+        F.col("feature").cast("double").alias("feature"),
+    )

@@ -121,48 +121,76 @@ def minhash_lsh_pairs(
     """Candidate pairs from shared LSH bands, verified with exact
     shingle-set Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
 
-    Scale: the band self-join groups by band_key. A hot bucket (one
-    band_key shared by d docs — boilerplate text) emits d² candidate
-    rows BEFORE the distinct, so a single 10⁶-doc bucket would emit
-    10¹² join rows; AQE splits skewed partitions but not the pair
-    blow-up itself. `max_bucket_size` drops buckets above the cap from
-    the join (the pre-aggregation is one extra count on the band rows,
-    co-partitioned with the join's own shuffle). Docs in a dropped
-    bucket can still pair through their other `num_hashes/rows_per_band`
-    bands. Groups of >cap near-identical docs are the exact-dedup
-    operator's job (`exact_duplicates` first, then LSH on survivors);
-    use `lsh_hot_buckets` to audit what a cap excluded, or pass
-    max_bucket_size=None for the uncapped join.
+    Scale: a hot bucket (one band_key shared by d docs — boilerplate
+    text) implies d² candidate pairs; AQE splits skewed partitions but
+    not the pair blow-up itself. With `max_bucket_size` set (default),
+    bucket COUNTS are computed first and over-cap keys filtered before
+    any member array is built, so both the collect_list aggregation
+    buffer and the pair expansion are bounded by the cap (the count agg
+    runs on the same (band_id, band_key) shuffle as the collect —
+    Spark reuses the exchange). With max_bucket_size=None the pairs
+    come from a band self-join instead, which spreads a hot bucket's d²
+    rows across tasks rather than one unbounded array row. Docs in a
+    dropped bucket can still pair through their other
+    `num_hashes/rows_per_band` bands. Groups of >cap near-identical
+    docs are the exact-dedup operator's job (`exact_duplicates` first,
+    then LSH on survivors); use `lsh_hot_buckets` to audit what a cap
+    excluded.
     """
     bands = minhash_band_keys(docs, id_col, text_col, num_hashes, rows_per_band, shingle_n)
-    # one groupBy produces the bucket member arrays; the size cap and
-    # the pair generation both read that single aggregate — the
-    # band-key map (tokenize + digest, the operator's dominant
-    # map-side cost) runs ONCE, where the pre-agg + self-join form
-    # recomputed it three times (cap count, left side, right side).
-    # Arrays are bounded by max_bucket_size, so collect_list is safe.
-    buckets = (
-        bands.groupBy("band_id", "band_key")
-        .agg(F.collect_list(id_col).alias("_ids"))
-        .where(F.size("_ids") >= 2)
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.where(F.size("_ids") <= max_bucket_size)
-    ids = F.array_sort("_ids")
-    pair_arr = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+    if max_bucket_size is None:
+        # Uncapped mode: generate pairs with the band self-join, which
+        # spreads a d-doc hot bucket's d² candidates across tasks. The
+        # collect_list form below would instead build ONE row holding a
+        # d-element member array plus an O(d²) flattened pair array —
+        # unbounded aggregation-buffer width without a cap.
+        a = bands.select(
+            "band_id", "band_key", F.col(id_col).alias("id_a")
         )
-    )
-    cand = (
-        buckets.select(F.explode(pair_arr).alias("_p"))
-        .select(F.col("_p.id_a"), F.col("_p.id_b"))
-        .distinct()
-    )
+        b = bands.select(
+            "band_id", "band_key", F.col(id_col).alias("id_b")
+        )
+        cand = (
+            a.join(b, ["band_id", "band_key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        # Capped mode: count FIRST, then collect only in-cap buckets —
+        # the cap must bound the aggregation buffer itself, not just
+        # downstream pair expansion. A 10⁶-doc boilerplate band_key
+        # never materializes a 10⁶-element collect_list row: the cheap
+        # count agg runs on the same (band_id, band_key) shuffle as the
+        # semi-join + collect (Spark reuses the exchange — one band-key
+        # map + one shuffle), and over-cap keys are filtered before any
+        # array is built.
+        counts = bands.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        in_cap = counts.where(
+            (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)
+        ).select("band_id", "band_key")
+        buckets = (
+            bands.join(in_cap, ["band_id", "band_key"])
+            .groupBy("band_id", "band_key")
+            .agg(F.collect_list(id_col).alias("_ids"))
+        )
+        ids = F.array_sort("_ids")
+        pair_arr = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        cand = (
+            buckets.select(F.explode(pair_arr).alias("_p"))
+            .select(F.col("_p.id_a"), F.col("_p.id_b"))
+            .distinct()
+        )
     sh = docs.select(
         F.col(id_col),
         F.array_distinct(word_shingles_expr(text_col, shingle_n)).alias("_sh"),
@@ -468,39 +496,66 @@ def minhash_lsh_pairs_incremental(
     pb = prior_bands.select(
         "band_id", "band_key", F.col(id_col).alias("_id")
     ).withColumn("_new", F.lit(False))
-    buckets = (
-        nb.unionByName(pb)
-        .groupBy("band_id", "band_key")
-        .agg(
-            F.collect_list(F.struct("_id", "_new")).alias("_members"),
+    u = nb.unionByName(pb)
+    if max_bucket_size is None:
+        # Uncapped: delta × (prior ∪ delta) band join — covers
+        # delta×prior and delta×delta collisions while spreading a hot
+        # bucket's pair rows across tasks (no unbounded collect_list
+        # row; see minhash_lsh_pairs).
+        cand = (
+            nb.select("band_id", "band_key", F.col("_id").alias("_ida"))
+            .join(
+                u.select("band_id", "band_key", F.col("_id").alias("_idb")),
+                ["band_id", "band_key"],
+            )
+            .where(F.col("_ida") != F.col("_idb"))
+            .select(
+                F.least("_ida", "_idb").alias("id_a"),
+                F.greatest("_ida", "_idb").alias("id_b"),
+            )
+            .distinct()
         )
-        # only buckets a delta doc landed in can yield NEW pairs
-        .where(F.exists("_members", lambda m: m.getField("_new")))
-        .where(F.size("_members") >= 2)
-    )
-    if max_bucket_size is not None:
-        buckets = buckets.where(F.size("_members") <= max_bucket_size)
-    members = F.array_sort("_members")  # struct sort: by _id, then _new
-    pair_arr = F.flatten(
-        F.transform(
-            members,
-            lambda x, i: F.transform(
-                F.slice(members, i + F.lit(2), F.size(members)),
-                lambda y: F.struct(
-                    x.getField("_id").alias("id_a"),
-                    y.getField("_id").alias("id_b"),
-                    (x.getField("_new") | y.getField("_new")).alias("touches_new"),
+    else:
+        # Count-first: filter over-cap / no-delta / singleton buckets
+        # BEFORE building member arrays, so the aggregation buffer is
+        # bounded by the cap (count agg + semi-join + collect share one
+        # (band_id, band_key) shuffle via exchange reuse).
+        counts = u.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("_n"),
+            # only buckets a delta doc landed in can yield NEW pairs
+            F.max("_new").alias("_has_new"),
+        )
+        in_cap = counts.where(
+            (F.col("_n") >= 2)
+            & (F.col("_n") <= max_bucket_size)
+            & F.col("_has_new")
+        ).select("band_id", "band_key")
+        buckets = (
+            u.join(in_cap, ["band_id", "band_key"])
+            .groupBy("band_id", "band_key")
+            .agg(F.collect_list(F.struct("_id", "_new")).alias("_members"))
+        )
+        members = F.array_sort("_members")  # struct sort: by _id, then _new
+        pair_arr = F.flatten(
+            F.transform(
+                members,
+                lambda x, i: F.transform(
+                    F.slice(members, i + F.lit(2), F.size(members)),
+                    lambda y: F.struct(
+                        x.getField("_id").alias("id_a"),
+                        y.getField("_id").alias("id_b"),
+                        (x.getField("_new") | y.getField("_new")).alias("touches_new"),
+                    ),
                 ),
-            ),
+            )
         )
-    )
-    cand = (
-        buckets.select(F.explode(pair_arr).alias("_p"))
-        .where(F.col("_p.touches_new"))
-        .select(F.col("_p.id_a"), F.col("_p.id_b"))
-        .where(F.col("id_a") != F.col("id_b"))
-        .distinct()
-    )
+        cand = (
+            buckets.select(F.explode(pair_arr).alias("_p"))
+            .where(F.col("_p.touches_new"))
+            .select(F.col("_p.id_a"), F.col("_p.id_b"))
+            .where(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
     all_sh = new_shingles.unionByName(prior_shingles)
     j = (
         cand.join(

@@ -30,14 +30,11 @@ def _duck():
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    # NO dtype coercion: the driver's value hash is typed (round 2's
+    # kg_pagerank failed on DuckDB HUGEINT vs Spark BIGINT with equal
+    # values — a coercing replica cannot predict that). Dtypes are
+    # asserted equal in the comparison instead.
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        elif pd.api.types.is_bool_dtype(df[c]):
-            df[c] = df[c].astype("bool")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
@@ -59,6 +56,12 @@ def test_query_matches_oracle(spark, name):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        assert got[c].dtype == want[c].dtype, (
+            f"{name}.{c}: spark dtype {got[c].dtype} != oracle dtype "
+            f"{want[c].dtype} — driver's typed hash would reject "
+            f"(cast the oracle, e.g. DuckDB sum() widens BIGINT->HUGEINT)"
+        )
     for c in got.columns:
         a, b = got[c].to_numpy(), want[c].to_numpy()
         if np.issubdtype(a.dtype, np.floating):
