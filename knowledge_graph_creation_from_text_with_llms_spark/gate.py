@@ -2030,12 +2030,30 @@ def _SQL_BPE(rounds: int) -> str:
     GROUP BY a, b HAVING sum(cnt) >= 2
     ORDER BY c DESC, pair ASC LIMIT 1)), chr(1)) AS pat
 ),
+p{r} AS MATERIALIZED (
+  -- split the winning pair once; pm is the fused symbol
+  SELECT pat, string_split(pat, ' ')[1] AS pa,
+         CASE WHEN len(string_split(pat, ' ')) > 1
+              THEN string_split(pat, ' ')[2] ELSE chr(1) END AS pb,
+         replace(pat, ' ', '') AS pm
+  FROM b{r}
+),
 v{r} AS MATERIALIZED (
+  -- boundary-safe greedy merge: fold over the TOKENS, fusing current
+  -- token pb into a trailing token pa — a substring replace would
+  -- corrupt across boundaries ('xa b' contains 'a b'). Identical fold
+  -- to operators.bpe.apply_merge_expr on the Spark side.
   SELECT w,
-         replace(syms, (SELECT pat FROM b{r}),
-                 replace((SELECT pat FROM b{r}), ' ', '')) AS syms,
+         CASE WHEN pat = chr(1) THEN syms ELSE
+           ltrim(list_reduce(
+             list_prepend('', string_split(syms, ' ')),
+             (acc, t) -> CASE
+               WHEN t = pb AND ends_with(acc, ' ' || pa)
+               THEN substr(acc, 1, len(acc) - len(pa) - 1) || ' ' || pm
+               ELSE acc || ' ' || t END))
+         END AS syms,
          cnt
-  FROM v{r - 1}
+  FROM v{r - 1}, p{r}
 )"""
         )
     return ",\n".join(parts)

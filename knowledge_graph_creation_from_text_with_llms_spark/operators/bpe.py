@@ -13,11 +13,16 @@ space and ' ' sorts below every token char, so string order equals
 every encoding — bit-reproducible, including in the unrolled SQL
 oracle (gate.text_bpe_tokens).
 
-Application is pure string work: interleave spaces between characters,
-then apply each merge in learned order as a literal global
-replace("a b" → "ab") — both Spark's `replace` and SQL's scan
-left-to-right over non-overlapping matches, so engines agree on
-overlapping runs ("aaa" + merge (a,a) → ["aa", "a"]).
+Application is a token-boundary-safe left fold: split the symbol
+string on spaces and scan once, merging the current token into the
+accumulator's trailing token whenever (trailing, current) equals the
+learned pair — exactly Sennrich's greedy left-to-right non-overlapping
+merge ("aaa" + merge (a,a) → ["aa", "a"]). A literal substring
+replace("a b" → "ab") would be wrong here: "xa b" (tokens [xa, b])
+contains the substring "a b" and would corrupt to "xab", a merge real
+BPE never makes. The fold is a native higher-order expression in Spark
+(F.aggregate) and mirrored bit-identically in the SQL oracle
+(list_reduce), so the gate verifies the boundary semantics too.
 """
 
 from __future__ import annotations
@@ -31,6 +36,29 @@ from ..functions.text import tokens_expr
 # no lookarounds (the SQL twin is RE2, which lacks them):
 # rtrim(regexp_replace(w, '(.)', '$1 '))
 _CHARS = "rtrim(regexp_replace({col}, '(.)', '$1 '))"
+
+
+def apply_merge_expr(syms: Column, a: str, b: str) -> Column:
+    """One BPE merge (a, b) applied to a space-joined symbol column —
+    greedy left-to-right on TOKEN boundaries via a fold over the split
+    tokens: the accumulator is the rebuilt (space-prefixed) symbol
+    string, and the current token b fuses with a trailing token a.
+    endswith(' '||a) is unambiguous because symbols never contain a
+    space. SQL twin: the identical list_reduce fold in gate._SQL_BPE."""
+    sep_a = " " + a
+    return F.ltrim(
+        F.aggregate(
+            F.split(syms, " "),
+            F.lit(""),
+            lambda acc, t: F.when(
+                (t == F.lit(b)) & acc.endswith(sep_a),
+                F.concat(
+                    acc.substr(F.lit(1), F.length(acc) - F.lit(len(sep_a))),
+                    F.lit(" " + a + b),
+                ),
+            ).otherwise(F.concat(acc, F.lit(" "), t)),
+        )
+    )
 
 
 def _word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
@@ -99,19 +127,19 @@ def learn_bpe(
         a, b = pat.split(" ", 1)
         merges.append((a, b))
         vocab = vocab.withColumn(
-            "syms", F.replace("syms", F.lit(pat), F.lit(a + b))
+            "syms", apply_merge_expr(F.col("syms"), a, b)
         ).localCheckpoint(eager=True)
     return merges, vocab
 
 
 def encode_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
     """Space-joined BPE encoding of a (lowercase alphanumeric) word
-    column under the learned merges — a chain of literal replaces,
-    fully native/codegen, usable on words outside the learned
-    vocabulary. SQL twin: the same replace(...) chain."""
+    column under the learned merges — a chain of boundary-safe merge
+    folds, fully native, usable on words outside the learned
+    vocabulary. SQL twin: the same list_reduce fold chain."""
     out = F.rtrim(F.regexp_replace(word, "(.)", "$1 "))
     for a, b in merges:
-        out = F.replace(out, F.lit(f"{a} {b}"), F.lit(a + b))
+        out = apply_merge_expr(out, a, b)
     return out
 
 

@@ -264,7 +264,10 @@ class KGPipeline:
         """Union of every committed snapshot of a table (incremental
         appends); Iceberg equivalent: plain table read. `upto`
         restricts to an explicit snapshot list (e.g. all snapshots that
-        existed before the current delta)."""
+        existed before the current delta). Replays any interrupted
+        compaction first so the union never double-counts a folded
+        snapshot that crashed mid-drop."""
+        cat.recover(table)
         snaps = upto if upto is not None else cat.snapshots(table)
         dfs = [cat.read(table, snapshot=s) for s in snaps]
         out = dfs[0]

@@ -174,12 +174,18 @@ class ParquetCatalog:
         the inputs — the union read-view is row-identical before and
         after (asserted in tests/test_pipeline_resume.py).
 
-        Crash contract: the 'compacting' manifest row (listing the
-        folded snapshot ids) lands BEFORE any input is dropped; a crash
-        between the new commit and the drops is recoverable by
-        re-dropping the listed ids (Iceberg does this transactionally —
-        this is the documented divergence of the parquet stand-in).
+        Crash contract: the 'compacting' INTENT row (new snapshot id +
+        folded input ids) lands BEFORE the new snapshot is renamed into
+        place, so every crash window is recoverable by `recover()`:
+        intent-but-no-snapshot → remove the orphan staging dir (inputs
+        untouched); snapshot-but-inputs-remain → complete the drops.
+        Without the intent-first ordering, a crash between the rename
+        and the manifest append would leave union read-views returning
+        every row twice with no record to recover from. (Iceberg does
+        this transactionally — this is the documented divergence of the
+        parquet stand-in.)
         """
+        self.recover(table)
         snaps = self.snapshots(table)
         if not snaps:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
@@ -194,8 +200,7 @@ class ParquetCatalog:
         if os.path.exists(staging):
             shutil.rmtree(staging)
         union.write.mode("overwrite").parquet(staging)
-        os.rename(staging, final)
-        rows = _parquet_rows(final)
+        rows = _parquet_rows(staging)
         self._append_manifest(
             {
                 "run_id": os.environ.get("KG_RUN_ID", "local"),
@@ -209,6 +214,7 @@ class ParquetCatalog:
                 "updated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
         )
+        os.rename(staging, final)
         for s in snaps:
             shutil.rmtree(os.path.join(d, f"snapshot={s}"), ignore_errors=True)
         self._append_manifest(
@@ -224,6 +230,70 @@ class ParquetCatalog:
             }
         )
         return CommitInfo(table, snap, rows)
+
+    def recover(self, table: str) -> str | None:
+        """Finish or roll back an interrupted compaction of `table`
+        (Iceberg: the commit is transactional, so this is a no-op
+        there; the parquet stand-in replays the intent row).
+
+        Reads the last 'compacting' intent row not followed by a
+        'compacted' row. Three crash windows:
+        - intent written, snapshot NOT renamed in → remove the orphan
+          staging dir; inputs untouched ('compaction_aborted').
+        - snapshot renamed in, some inputs not yet dropped → complete
+          the drops ('compacted', recovered flag).
+        - nothing pending → None.
+        Returns the action taken ('aborted' | 'completed') or None.
+        """
+        pending = None
+        for r in self.manifest():
+            if r["stage"] != table:
+                continue
+            if r["status"] == "compacting":
+                pending = r
+            elif r["status"] in ("compacted", "compaction_aborted") and (
+                pending is not None
+                and r["snapshot_id"] == pending["snapshot_id"]
+            ):
+                pending = None
+        if pending is None:
+            return None
+        d = self._table_dir(table)
+        snap = pending["snapshot_id"]
+        final = os.path.join(d, f"snapshot={snap}")
+        staging = os.path.join(d, f".staging-{snap}")
+        now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        base = {
+            "run_id": os.environ.get("KG_RUN_ID", "local"),
+            "stage": table,
+            "rows_in": pending["rows_in"],
+            "snapshot_id": snap,
+            "wall_sec": 0.0,
+            "updated_at": now,
+        }
+        if not os.path.isdir(final):
+            # crash before the rename: the union snapshot never
+            # committed — drop the orphan staging dir, inputs stand
+            shutil.rmtree(staging, ignore_errors=True)
+            self._append_manifest(
+                {**base, "status": "compaction_aborted", "rows_out": 0}
+            )
+            return "aborted"
+        # crash after the rename: complete the input drops
+        for s in pending["folded"]:
+            if s != snap:
+                shutil.rmtree(
+                    os.path.join(d, f"snapshot={s}"), ignore_errors=True
+                )
+        self._append_manifest(
+            {
+                **base,
+                "status": "compacted",
+                "rows_out": pending["rows_out"],
+                "recovered": True,
+            }
+        )
+        return "completed"
 
     # -- manifest -----------------------------------------------------------
     def _append_manifest(self, row: dict) -> None:

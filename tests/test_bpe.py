@@ -76,3 +76,26 @@ def test_max_vocab_cap_is_deterministic(spark):
     assert m1 == m2
     # zz (count 1) excluded from the capped vocab: (z,z) never merged
     assert ("z", "z") not in m1
+
+
+def test_merge_never_crosses_token_boundaries(spark):
+    """After merging (x,a), the word 'xab' is tokens [xa, b]; a later
+    (a,b) merge must NOT fire — 'xa b' contains the SUBSTRING 'a b'
+    but not the token pair (a, b). A literal replace corrupted this to
+    'xab' (one token), a merge real Sennrich BPE never makes."""
+    df = spark.range(1).select(
+        bpe.encode_expr(F.lit("xab"), [("x", "a"), ("a", "b")]).alias("s")
+    )
+    assert df.first().s == "xa b"
+
+
+def test_merge_fold_greedy_left_to_right(spark):
+    """Self-overlapping pair (a,a) over 'aaa' merges greedily left to
+    right: [aa, a] — and adjacent occurrences all merge in one pass:
+    'abab' under (a,b) → [ab, ab]."""
+    row = spark.range(1).select(
+        bpe.encode_expr(F.lit("aaa"), [("a", "a")]).alias("s1"),
+        bpe.encode_expr(F.lit("abab"), [("a", "b")]).alias("s2"),
+    ).first()
+    assert row.s1 == "aa a"
+    assert row.s2 == "ab ab"

@@ -117,3 +117,80 @@ def test_catalog_compaction_preserves_union_view(spark, tmp_path):
     cat.write(spark.range(13, 15).toDF("id"), "t", stage="t")
     again = sorted(r.id for r in KGPipeline._read_all(cat, "t").collect())
     assert again == list(range(15))
+
+
+def _compaction_state(spark, tmp_path, name):
+    cat = ParquetCatalog(str(tmp_path / name), spark)
+    for lo, hi in ((0, 5), (5, 8), (8, 13)):
+        cat.write(spark.range(lo, hi).toDF("id"), "t", stage="t")
+    return cat
+
+
+def test_compaction_crash_before_rename_is_aborted(spark, tmp_path):
+    """Crash window 1: the 'compacting' intent row is on disk but the
+    union snapshot was never renamed in. recover() must remove the
+    orphan staging dir, audit an abort, and leave the union read-view
+    untouched (inputs were never dropped)."""
+    import os
+
+    cat = _compaction_state(spark, tmp_path, "c1")
+    snaps = cat.snapshots("t")
+    snap = snaps[-1] + 1
+    staging = os.path.join(cat._table_dir("t"), f".staging-{snap}")
+    KGPipeline._read_all(cat, "t").write.parquet(staging)
+    cat._append_manifest(
+        {
+            "run_id": "crashed",
+            "stage": "t",
+            "status": "compacting",
+            "rows_in": len(snaps),
+            "rows_out": 13,
+            "snapshot_id": snap,
+            "folded": snaps,
+            "wall_sec": 0.0,
+            "updated_at": "2026-01-01T00:00:00Z",
+        }
+    )
+    assert cat.recover("t") == "aborted"
+    assert not os.path.exists(staging)
+    assert cat.snapshots("t") == snaps  # inputs intact
+    assert sorted(r.id for r in KGPipeline._read_all(cat, "t").collect()) == list(
+        range(13)
+    )
+    assert cat.recover("t") is None  # idempotent
+
+
+def test_compaction_crash_after_rename_completes_drops(spark, tmp_path):
+    """Crash window 2: the union snapshot committed but the folded
+    inputs were not dropped — a naive union view would return every
+    row TWICE. recover() (called by _read_all) completes the drops, so
+    the read-view stays row-identical."""
+    import os
+
+    cat = _compaction_state(spark, tmp_path, "c2")
+    snaps = cat.snapshots("t")
+    snap = snaps[-1] + 1
+    final = os.path.join(cat._table_dir("t"), f"snapshot={snap}")
+    KGPipeline._read_all(cat, "t").write.parquet(final)
+    cat._append_manifest(
+        {
+            "run_id": "crashed",
+            "stage": "t",
+            "status": "compacting",
+            "rows_in": len(snaps),
+            "rows_out": 13,
+            "snapshot_id": snap,
+            "folded": snaps,
+            "wall_sec": 0.0,
+            "updated_at": "2026-01-01T00:00:00Z",
+        }
+    )
+    # raw union without recovery WOULD double-count
+    assert cat.snapshots("t") == snaps + [snap]
+    # _read_all recovers first: folded inputs dropped, rows exact
+    got = sorted(r.id for r in KGPipeline._read_all(cat, "t").collect())
+    assert got == list(range(13))
+    assert cat.snapshots("t") == [snap]
+    statuses = [m["status"] for m in cat.manifest() if m["stage"] == "t"]
+    assert statuses[-1] == "compacted"
+    assert [m for m in cat.manifest() if m.get("recovered")]

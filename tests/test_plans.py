@@ -129,3 +129,37 @@ def test_whole_stage_codegen_covers_scalar_pipeline(spark):
     # "*(n)" prefixes mark whole-stage-codegen stages in this string form
     assert "*(1)" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_capped_counts_before_collect(spark):
+    """The bucket cap must bound the collect_list AGGREGATION BUFFER,
+    not just downstream pair expansion: physically, a count(1)
+    aggregate + key join filters over-cap (band_id, band_key)s below
+    the collect_list aggregate, so a 10^6-doc boilerplate bucket never
+    materializes a 10^6-element array row. The count agg shares the
+    band shuffle with the collect (exchange reuse)."""
+    docs = _docs(spark)
+    df = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.1, max_bucket_size=50)
+    plan = _plan(df, execute=True)
+    lines = plan.splitlines()
+    collect_at = next(
+        i for i, l in enumerate(lines) if "collect_list" in l
+    )
+    count_below = any(
+        "count(1)" in l and "band" in l for l in lines[collect_at:]
+    )
+    assert count_below, "bucket count agg must be a child of the collect_list agg"
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_uncapped_is_self_join_no_collect(spark):
+    """Uncapped mode must take the band self-join path: no collect_list
+    anywhere (an uncapped collect would build one unbounded array row
+    per hot bucket)."""
+    df = dedup.minhash_lsh_pairs(
+        _docs(spark), jaccard_threshold=0.1, max_bucket_size=None
+    )
+    plan = _plan(df, execute=True)
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan
