@@ -150,6 +150,7 @@ def main() -> None:
         "ann_topk_ivf_kmeans",
         "text_bpe_tokens",
         "kg_pagerank",
+        "kg_pagerank_dangling",
         "text_length_percentiles",
         "events_funnel",
         "corpus_weighted_sample",
@@ -157,6 +158,7 @@ def main() -> None:
         "corpus_pack_sequences",
         "code_strip_boilerplate",
         "media_features",
+        "dedup_ngram_jaccard_incremental",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:
@@ -171,23 +173,33 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "kg_construct_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "triples_per_sec": triples_per_sec,
-                "triples_raw": triples,
-                "cpus": int(cpus),
-                "cpus_used": cpus_used,
-                "trials": trials,
-                "spread": spreads,
-            }
-        )
-    )
+    summary = {
+        "metric": "kg_construct_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "triples_per_sec": triples_per_sec,
+        "triples_raw": triples,
+        "cpus": int(cpus),
+        "cpus_used": cpus_used,
+        "trials": trials,
+    }
+    # Truncation-proofing (round 2's driver tail-capture cut the one
+    # long stdout line → BENCH_r02.json "parsed": null): the FULL
+    # summary incl. per-trial spreads goes to a file; stdout gets the
+    # compact one-liner the driver parses, kept short by excluding
+    # spreads.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_summary.json"),
+            "w",
+        ) as f:
+            json.dump({**summary, "spread": spreads}, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(summary), flush=True)
     spark.stop()
     shutil.rmtree(scratch, ignore_errors=True)
 

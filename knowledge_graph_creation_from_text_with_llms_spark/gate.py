@@ -898,6 +898,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_ngram_jaccard_incremental",
+    f"""
+WITH {SQL_SHINGLES.lstrip()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(a.sh || b.sh)) AS jaccard
+FROM shingles a JOIN shingles b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE (a.doc_id % 7 = 0 OR b.doc_id % 7 = 0)
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(a.sh || b.sh)) >= 0.3e0
+""",
+)
+def dedup_ngram_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta (doc_id % 7 = 0) probed against the prior corpus's
+    snapshotted posting-list index: must equal the full run's pairs
+    that touch the delta — which is exactly what the oracle computes
+    pairwise, so the incremental path's exactness argument (delta
+    prefix × prior full postings) is hash-verified, not just
+    pytest-asserted."""
+    docs = _docs(spark, sf_dir)
+    prior = docs.where(F.col("doc_id") % 7 != 0)
+    delta = docs.where(F.col("doc_id") % 7 == 0)
+    posting, shingles, dfreq = dedup.ngram_index(prior, "source")
+    pairs, _, _, _ = dedup.ngram_jaccard_pairs_incremental(
+        delta, posting, shingles, dfreq, "source", threshold=0.3
+    )
+    return pairs
+
+
 # -- 15. embedding cosine near-dup ------------------------------------------------
 
 _SQL_COS = """
@@ -2090,11 +2121,14 @@ _PR_SCALE = 10**12
 _PR_D = 85
 
 
-def _SQL_PR(rounds: int) -> str:
+def _SQL_PR(rounds: int, dangling: bool = False) -> str:
     """Unrolled fixed-point PageRank rounds: r{i} from r{i-1} via one
     contribution join + incoming sum; all arithmetic int64 (// is
     integer division on BIGINTs, same truncation as Spark's DIV for
-    the non-negative ranks here)."""
+    the non-negative ranks here). With `dangling`, each round also
+    computes the mass parked on out-degree-0 nodes and shares it
+    equally (dm{i}.share = dangling_mass DIV N), the standard PageRank
+    formulation — mirrored by pagerank(redistribute_dangling=True)."""
     base = (100 - _PR_D) * _PR_SCALE
     parts = [
         f"""e AS MATERIALIZED (
@@ -2110,7 +2144,24 @@ r0 AS MATERIALIZED (
   SELECT node_id, CAST({_PR_SCALE} AS BIGINT) AS rank_int FROM pr_nodes
 )"""
     ]
+    if dangling:
+        parts.append(
+            """dang AS MATERIALIZED (
+  SELECT node_id FROM pr_nodes EXCEPT SELECT src FROM odeg
+),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM pr_nodes)"""
+        )
     for i in range(1, rounds + 1):
+        share = "CAST(0 AS BIGINT)"
+        if dangling:
+            parts.append(
+                f"""dm{i} AS MATERIALIZED (
+  SELECT CAST(coalesce(sum(r.rank_int), 0) // (SELECT n FROM nn) AS BIGINT)
+           AS share
+  FROM r{i - 1} r JOIN dang USING (node_id)
+)"""
+            )
+            share = f"(SELECT share FROM dm{i})"
         parts.append(
             f"""inc{i} AS MATERIALIZED (
   SELECT e.dst AS node_id, sum(r.rank_int // o.odeg) AS s
@@ -2120,7 +2171,8 @@ r0 AS MATERIALIZED (
 r{i} AS MATERIALIZED (
   SELECT n.node_id,
          (CAST({base} AS BIGINT)
-          + {_PR_D} * coalesce(inc{i}.s, CAST(0 AS BIGINT))) // 100 AS rank_int
+          + {_PR_D} * (coalesce(inc{i}.s, CAST(0 AS BIGINT))
+                       + {share})) // 100 AS rank_int
   FROM pr_nodes n LEFT JOIN inc{i} USING (node_id)
 )"""
         )
@@ -2144,6 +2196,27 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds."""
     edges = _edges(_docs(spark, sf_dir)).where(~F.col("is_literal"))
     return graph.pagerank(edges, iterations=_PR_ITERS)
+
+
+@_q(
+    "kg_pagerank_dangling",
+    f"""
+WITH {SQL_EDGES.lstrip()},
+{_SQL_PR(_PR_ITERS, dangling=True)}
+SELECT node_id, CAST(rank_int AS BIGINT) AS rank_int,
+       CAST(rank_int AS DOUBLE) / {float(_PR_SCALE)} AS rank
+FROM r{_PR_ITERS}
+""",
+)
+def kg_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-formulation PageRank: per round the mass on
+    out-degree-0 nodes is redistributed equally (integer share DIV N)
+    instead of dropped — closes the documented semantic divergence of
+    kg_pagerank while staying bit-exact cross-engine."""
+    edges = _edges(_docs(spark, sf_dir)).where(~F.col("is_literal"))
+    return graph.pagerank(
+        edges, iterations=_PR_ITERS, redistribute_dangling=True
+    )
 
 
 # -- 25. exact per-group percentiles ---------------------------------------------

@@ -326,6 +326,144 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_index(
+    docs: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the reusable n-gram inverted index for a corpus — the
+    snapshot `ngram_jaccard_pairs_incremental` probes so delta runs
+    never re-shingle the prior corpus. Returns (posting, shingles, df):
+
+    - posting: (_blk, id, _g) one row per (doc, distinct shingle) —
+      the full posting lists;
+    - shingles: (id, _sh) full per-doc shingle arrays (exact-verify
+      side);
+    - df: (_blk, _g, _df) per-block document frequencies. Appending a
+      delta's df rows keeps MULTIPLE rows per key; consumers re-sum —
+      folding a delta in is an append, never a rewrite.
+    """
+    sh = docs.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col),
+        F.array_distinct(word_shingles_expr(text_col, shingle_n)).alias("_sh"),
+    ).where(F.size("_sh") > 0)
+    posting = sh.select("_blk", F.col(id_col), F.explode("_sh").alias("_g"))
+    dfreq = posting.groupBy("_blk", "_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    return posting, sh.select(F.col(id_col), "_sh"), dfreq
+
+
+def ngram_jaccard_pairs_incremental(
+    new_docs: DataFrame,
+    prior_posting: DataFrame,
+    prior_shingles: DataFrame,
+    prior_df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Incremental exact n-gram Jaccard: pairs touching the DELTA only,
+    probed against a snapshotted inverted index — the prior corpus is
+    never re-shingled. Returns (pairs, new_posting, new_shingles,
+    new_df); append the three index deltas to the snapshots to fold the
+    delta in for the next run (df rows accumulate per key and are
+    re-summed here).
+
+    Exactness under a stale index: delta prefixes are computed under
+    the COMBINED document frequencies (prior df rows + delta's), so
+    delta×delta candidates come from the standard prefix×prefix join.
+    For delta×prior the delta prefix joins the prior's FULL posting
+    lists: if J(A,B) >= t then |A∩B| >= ceil(t·|A|), and if none of
+    those shared shingles sat in A's prefix they would all have to fit
+    in the ceil(t·|A|)-1 positions after it — contradiction. So A's
+    prefix alone guarantees no qualifying (delta, prior) pair is lost,
+    without ever recomputing prior prefixes under the new frequencies.
+    Candidates are a (slight) superset of the batch operator's; the
+    exact verify makes the emitted pairs identical to a full re-run's
+    pairs that touch the delta (tested).
+    """
+    from pyspark.sql import Window
+
+    new_posting, new_shingles, new_df = ngram_index(
+        new_docs, block_col, id_col, text_col, shingle_n
+    )
+    combined_df = (
+        prior_df.unionByName(new_df)
+        .groupBy("_blk", "_g")
+        .agg(F.sum("_df").alias("_df"))
+    )
+    n_per_doc = new_posting.groupBy("_blk", id_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w_rank = Window.partitionBy("_blk", id_col).orderBy("_df", "_g")
+    ranked = (
+        new_posting.join(combined_df, ["_blk", "_g"])
+        .join(n_per_doc, ["_blk", id_col])
+        .select(
+            "_blk",
+            F.col(id_col),
+            "_g",
+            F.row_number().over(w_rank).alias("_r"),
+            "_n",
+        )
+    )
+    prefix_len = F.col("_n") - F.ceil(
+        F.lit(threshold) * F.col("_n") - F.lit(1e-9)
+    ) + F.lit(1)
+    prefix = ranked.where(F.col("_r") <= prefix_len)
+    a = prefix.select("_blk", F.col(id_col).alias("id_a"), "_g")
+    dd = (
+        a.join(
+            prefix.select("_blk", F.col(id_col).alias("id_b"), "_g"),
+            ["_blk", "_g"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    dp = (
+        a.join(
+            prior_posting.select("_blk", F.col(id_col).alias("id_b"), "_g"),
+            ["_blk", "_g"],
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    cand = dd.unionByName(dp).distinct()
+    full = prior_shingles.unionByName(new_shingles)
+    na, nb = F.size("_sa"), F.size("_sb")
+    pairs = (
+        cand.join(
+            full.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            full.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")),
+            "id_b",
+        )
+        .where(
+            F.least(na, nb).cast("double")
+            >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9)
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sa", "_sb"))
+            / F.size(F.array_union("_sa", "_sb")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.col("jaccard"))
+    )
+    return pairs, new_posting, new_shingles, new_df
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -316,6 +316,7 @@ def pagerank(
     dst_col: str = "dst_id",
     damping_pct: int = 85,
     scale: int = 10**12,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """PageRank over the directed simple graph of `edges`, in
     fixed-point integer arithmetic: (node_id, rank_int, rank) where
@@ -330,9 +331,16 @@ def pagerank(
     SQL oracle (gate.kg_pagerank). Precision cost ≤ out_degree
     round-down units of 1/scale per node per round.
 
-    Semantics: the simplified large-scale variant — dangling-node mass
-    is dropped, not redistributed (totals shrink; relative order is
-    what downstream consumers use). Overflow bound: d·Σ ≤ 85 · N ·
+    Semantics: by default the simplified large-scale variant —
+    dangling-node mass is dropped, not redistributed (totals shrink;
+    relative order is what downstream consumers use). With
+    `redistribute_dangling=True` the standard formulation: each round,
+    the mass parked on out-degree-0 nodes is shared equally (integer
+    DIV — each node receives dangling_mass DIV N extra incoming before
+    damping), keeping totals ~conserved and staying bit-exact. The
+    per-round dangling mass is a 1-row aggregate broadcast back into
+    the update (no data-scale driver traffic; only N, a scalar, is
+    collected once). Overflow bound: d·Σ ≤ 85 · N ·
     scale must stay under 2^63 → N ≤ ~10^5 at the default scale; lower
     `scale` for bigger graphs (10^9 supports N ≈ 10^8).
 
@@ -356,6 +364,11 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
     base = (100 - damping_pct) * scale
     ranks = nodes.withColumn("rank_int", F.lit(scale).cast("long"))
+    if redistribute_dangling:
+        dangling = nodes.join(
+            out_deg.select(F.col("src").alias("node_id")), "node_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_nodes = nodes.count()  # scalar, stable across rounds
     for _ in range(iterations):
         contrib = (
             e.join(ranks, e.src == ranks.node_id)
@@ -366,13 +379,27 @@ def pagerank(
             )
         )
         incoming = contrib.groupBy("node_id").agg(F.sum("c").alias("s"))
+        upd = nodes.join(incoming, "node_id", "left")
+        if redistribute_dangling:
+            share = (
+                ranks.join(dangling, "node_id")
+                .agg(
+                    F.expr(
+                        "coalesce(sum(rank_int), CAST(0 AS BIGINT))"
+                        f" DIV {n_nodes}"
+                    ).alias("_share")
+                )
+            )
+            upd = upd.crossJoin(F.broadcast(share))
+            inc_expr = "coalesce(s, CAST(0 AS BIGINT)) + _share"
+        else:
+            inc_expr = "coalesce(s, CAST(0 AS BIGINT))"
         ranks = (
-            nodes.join(incoming, "node_id", "left")
-            .select(
+            upd.select(
                 "node_id",
                 F.expr(
                     f"(CAST({base} AS BIGINT) + {damping_pct}"
-                    " * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
+                    f" * ({inc_expr})) DIV 100"
                 ).alias("rank_int"),
             )
             .localCheckpoint(eager=True)

@@ -42,10 +42,20 @@ def pack_sequences(
     but keep a deterministic position (start of their would-be slot).
     """
     n_tok = F.size(tokens_expr(text_col)).cast("long")
+    id_type = docs.schema[id_col].dataType.simpleString()
+    if id_type in ("string", "varchar"):
+        # non-numeric ids: deterministic md5 bucket (engine-portable —
+        # same expression is ANSI/DuckDB-expressible, unlike xxhash64)
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col)), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).cast("int")
+    else:
+        bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int")
     base = docs.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
-        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int").alias("bucket"),
+        bucket.alias("bucket"),
     )
     w = (
         Window.partitionBy("bucket")

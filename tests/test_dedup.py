@@ -266,3 +266,62 @@ def test_minhash_incremental_equals_full_run(spark):
         (r.id_a, r.id_b) for r in full2.collect() if 20 in (r.id_a, r.id_b)
     }
     assert got2 == want2 and got2
+
+
+def test_ngram_incremental_equals_full_run(spark):
+    """Delta probed against the snapshotted posting-list index must
+    emit exactly the full-run blocked-Jaccard pairs that touch the
+    delta; folding the delta's index rows in (appends only — df rows
+    accumulate and are re-summed) keeps the equivalence on a second
+    delta. The prior corpus is never re-shingled."""
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta"
+    prior = mk([
+        (1, "a", base_text),
+        (2, "a", base_text + " iota"),
+        (3, "a", "completely different words entirely here now okay"),
+        (4, "b", base_text),  # other block: must never pair with 'a'
+    ])
+    delta1 = mk([
+        (10, "a", base_text + " kappa"),
+        (11, "a", "unrelated fresh content with novel tokens only"),
+        (12, "a", base_text + " kappa"),
+    ])
+    posting, shingles, dfreq = dedup.ngram_index(prior, "source")
+    inc, d_post, d_sh, d_df = dedup.ngram_jaccard_pairs_incremental(
+        delta1, posting, shingles, dfreq, "source", threshold=0.3
+    )
+    got1 = {(r.id_a, r.id_b): r.jaccard for r in inc.collect()}
+    full = dedup.ngram_jaccard_pairs(
+        prior.unionByName(delta1), block_col="source", threshold=0.3
+    )
+    delta_ids = {10, 11, 12}
+    want1 = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in full.collect()
+        if r.id_a in delta_ids or r.id_b in delta_ids
+    }
+    assert got1 == want1 and got1
+    assert not any(a == 4 or b == 4 for a, b in got1)  # block respected
+
+    posting2 = posting.unionByName(d_post)
+    shingles2 = shingles.unionByName(d_sh)
+    dfreq2 = dfreq.unionByName(d_df)  # append, re-summed inside
+    delta2 = mk([(20, "a", base_text + " kappa lambda")])
+    inc2, _, _, _ = dedup.ngram_jaccard_pairs_incremental(
+        delta2, posting2, shingles2, dfreq2, "source", threshold=0.3
+    )
+    got2 = {(r.id_a, r.id_b) for r in inc2.collect()}
+    full2 = dedup.ngram_jaccard_pairs(
+        prior.unionByName(delta1).unionByName(delta2),
+        block_col="source",
+        threshold=0.3,
+    )
+    want2 = {
+        (r.id_a, r.id_b) for r in full2.collect() if 20 in (r.id_a, r.id_b)
+    }
+    assert got2 == want2 and got2

@@ -166,3 +166,33 @@ def test_pagerank_hand_graph(spark):
     # determinism: bit-identical across runs
     again = {r.node_id: r.rank_int for r in graph.pagerank(edges, iterations=3).collect()}
     assert r3 == again
+
+
+def test_pagerank_redistribute_dangling_hand_graph(spark):
+    """a->b with b dangling, N=2: each round the mass on b is shared
+    equally (share = rank_b DIV 2) — standard-formulation PageRank,
+    hand-checked in fixed-point integers."""
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "src_id string, dst_id string"
+    )
+    S = 10**12
+    r = {
+        r.node_id: r.rank_int
+        for r in graph.pagerank(
+            edges, iterations=1, redistribute_dangling=True
+        ).collect()
+    }
+    share = S // 2  # dangling mass S on b, split over N=2 nodes
+    assert r["a"] == (15 * S + 85 * share) // 100
+    assert r["b"] == (15 * S + 85 * (S + share)) // 100
+    # default variant drops the mass: strictly less total
+    d = {
+        x.node_id: x.rank_int
+        for x in graph.pagerank(edges, iterations=1).collect()
+    }
+    assert d["a"] == (15 * S) // 100
+    assert sum(d.values()) < sum(r.values())
+    # mass ~conserved under redistribution (integer round-down only)
+    assert abs(sum(r.values()) - 2 * S) < 200

@@ -135,3 +135,23 @@ def test_pack_sequences_contract(spark):
     # no token budget overflow: within a (bucket, pack) the doc START
     # offsets all lie inside the pack
     assert all(0 <= r.start_in_pack < 10 for r in out)
+
+
+def test_pack_sequences_string_ids(spark):
+    """Non-numeric ids bucket via a deterministic md5 hash instead of
+    pmod on the raw id (which only works for numeric-castable
+    strings); assignment is stable across runs and buckets stay in
+    range."""
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(f"doc/{i}/v1", "some tokens here now") for i in range(50)],
+        "doc_id string, text string",
+    )
+    out = packing.pack_sequences(docs, seq_len=8, n_buckets=4).collect()
+    assert len(out) == 50
+    assert all(0 <= r.bucket < 4 for r in out)
+    assert len({r.bucket for r in out}) > 1  # hash actually spreads
+    again = packing.pack_sequences(docs, seq_len=8, n_buckets=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    assert all(0 <= r.start_in_pack < 8 for r in out)
