@@ -159,6 +159,10 @@ def main() -> None:
         "code_strip_boilerplate",
         "media_features",
         "dedup_ngram_jaccard_incremental",
+        "events_asof_join",
+        "events_retention",
+        "corpus_stratified_split",
+        "text_top_ngrams",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

@@ -2471,3 +2471,150 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("long").alias("i"),
         F.col("feature").cast("double").alias("feature"),
     )
+
+
+# -- 30. as-of (point-in-time) join / retention / stratified split / top-ngrams --
+
+
+@_q(
+    "events_asof_join",
+    """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts,
+         max(CAST(round(value * 100) AS BIGINT)) AS purchase_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us,
+       coalesce(r.purchase_cents, CAST(-1 AS BIGINT)) AS last_purchase_cents
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — each click picks up the user's most recent
+    purchase value at or before it (the feature-store/market-data
+    operator Spark lacks natively). Spark side: single-shuffle union +
+    ordered-window carry-forward (events.asof_join); oracle: DuckDB's
+    native ASOF LEFT JOIN — two entirely independent as-of
+    implementations must agree bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(F.round(F.col("value") * 100).cast("long")).alias(
+                "purchase_cents"
+            )
+        )
+    )
+    out = events.asof_join(left, right, ["user_id"], "ts")
+    from .operators.events import _epoch_us
+
+    return out.select(
+        "event_id",
+        "user_id",
+        _epoch_us("ts").alias("click_us"),
+        F.coalesce(F.col("purchase_cents"), F.lit(-1).cast("long")).alias(
+            "last_purchase_cents"
+        ),
+    )
+
+
+@_q(
+    "events_retention",
+    """
+WITH ed AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+),
+f AS (SELECT user_id, min(d) AS cohort_day FROM ed GROUP BY user_id)
+SELECT cohort_day, d - cohort_day AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM ed JOIN f USING (user_id)
+GROUP BY cohort_day, d - cohort_day
+""",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (cohort = epoch-day of first event;
+    cells = distinct users active at each day offset) — all-integer
+    day arithmetic, two key-partitioned aggregations."""
+    return events.retention_cohorts(_events(spark, sf_dir))
+
+
+_STRAT_FRACS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
+def _SQL_STRAT() -> str:
+    """CASE cuts generated from the SAME Python float accumulation the
+    Spark operator uses (0.8 + 0.1 = 0.9000000000000001 — writing a
+    clean 0.9 literal here could floor() differently at an exact
+    integer boundary)."""
+    cum = 0.0
+    whens = []
+    for name, frac in _STRAT_FRACS[:-1]:
+        cum += frac
+        whens.append(
+            f"WHEN rn <= floor({cum!r}e0 * n) THEN '{name}'"
+        )
+    return "\n            ".join(whens)
+
+
+@_q(
+    "corpus_stratified_split",
+    f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE {_SQL_STRAT()}
+            ELSE '{_STRAT_FRACS[-1][0]}' END AS split
+FROM ranked
+""",
+)
+def corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-proportion 80/10/10 split per source stratum: salted-hash
+    order + floor(cum·n) cuts, every stratum within 1 row of target
+    (vs the Bernoulli corpus_split's √n fluctuation)."""
+    return sampling.stratified_split(
+        _docs(spark, sf_dir), "source", dict(_STRAT_FRACS)
+    )
+
+
+@_q(
+    "text_top_ngrams",
+    f"""
+WITH g AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS gram
+  FROM (SELECT source, {TOK} AS ws FROM documents)
+  WHERE len(ws) >= 2
+),
+c AS (
+  SELECT source, gram, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM g GROUP BY source, gram
+)
+SELECT source, gram, n_occurrences, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT source, gram, n_occurrences,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_occurrences DESC, gram ASC) AS rank
+  FROM c)
+WHERE rank <= 5
+""",
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per source (boilerplate/template/contamination
+    inspection report), deterministic tie-break (count desc, gram asc);
+    the window runs over the (source, gram) counts, never the corpus."""
+    return textstats.top_ngrams_per_group(
+        _docs(spark, sf_dir), "source", n=2, k=5
+    )

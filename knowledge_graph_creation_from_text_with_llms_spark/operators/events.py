@@ -146,3 +146,97 @@ def funnel_stages(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (as-of) join: each left row picks up the right
+    row with the LARGEST right.ts <= left.ts within the same key —
+    the temporal join Spark lacks natively (market data, feature
+    stores, slowly-changing state). Equal timestamps match (>=).
+
+    Implementation is the single-shuffle union + ordered-window
+    carry-forward: tag sides, union, and last(ignorenulls) each right
+    value over (key ORDER BY ts, side) ROWS UNBOUNDED PRECEDING —
+    right rows sort BEFORE left rows at equal ts, so >= semantics fall
+    out of the sort key. No join explosion, no range cross product:
+    cost is one shuffle on the key + one sort per partition, the same
+    plan shape at 100 TB (skewed keys: pre-split hot keys or salt the
+    window like any windowed op).
+
+    Requires right unique per (key, ts) — pre-aggregate otherwise
+    (duplicate right rows at one timestamp would make the carried
+    value order-dependent). `how='left'` keeps unmatched left rows
+    with nulls; 'inner' drops them.
+    """
+    rcols = [
+        c for c in right.columns if c not in key_cols and c != ts_col
+    ]
+    lcols = [c for c in left.columns]
+    clash = [c for c in rcols if c in lcols]
+    if clash:
+        raise ValueError(
+            f"asof_join: right value columns {clash} collide with left "
+            "columns — rename before joining"
+        )
+    l = left.withColumn("_side", F.lit(1))
+    for c in rcols:
+        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r = right.withColumn("_side", F.lit(0))
+    for c in lcols:
+        if c not in key_cols and c != ts_col:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.select(*lcols, *rcols, "_side").unionByName(
+        r.select(*lcols, *rcols, "_side")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *lcols,
+        "_side",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in rcols
+        ],
+    )
+    out = carried.where(F.col("_side") == 1).drop("_side")
+    if how == "inner":
+        cond = None
+        for c in rcols:
+            cnd = F.col(c).isNotNull()
+            cond = cnd if cond is None else (cond | cnd)
+        if cond is not None:
+            out = out.where(cond)
+    return out
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the epoch-day of
+    their FIRST event; each (cohort_day, day_offset) cell counts the
+    distinct users of that cohort active that many days later. All-day
+    integer arithmetic (epoch_us DIV 86400e6) so the matrix is
+    bit-identical cross-engine. Two key-partitioned aggregations —
+    first-event per user, then the cell counts; no windows over the
+    full event table."""
+    # integer DIV, not float division: a double quotient that rounds
+    # up across an integer boundary would shift the day cross-engine
+    ed = events.select(
+        "user_id", _epoch_us("ts").alias("_us")
+    ).select("user_id", F.expr("_us DIV 86400000000").alias("_day"))
+    first = ed.groupBy("user_id").agg(F.min("_day").alias("cohort_day"))
+    return (
+        ed.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("_day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -146,3 +146,54 @@ def mix_corpus(
         )
     rate = rate.otherwise(F.lit(0.0))
     return weighted_hash_sample(docs, rate, id_col, salt)
+
+
+def stratified_split(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """EXACT-proportion train/val/test split per stratum: within each
+    stratum, rows are ordered by a salted md5 of the id (deterministic,
+    uncorrelated with content) and cut at floor(n·f) boundaries —
+    every stratum lands within 1 row of its target fraction, unlike
+    the Bernoulli `assign_splits` whose per-stratum counts fluctuate
+    √n. The price is one window sort per stratum (Bernoulli is
+    map-only); use this when per-domain quotas must be exact.
+
+    `fractions` maps split name → fraction, summing to <= 1; the
+    remainder goes to the LAST listed split. Deterministic: same
+    (salt, ids) → same assignment, regardless of row order.
+    """
+    from pyspark.sql import Window
+
+    names = list(fractions)
+    fracs = [float(fractions[k]) for k in names]
+    if not names or sum(fracs) > 1.0 + 1e-9:
+        raise ValueError("fractions must be non-empty and sum to <= 1")
+    h = F.md5(
+        F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    wn = Window.partitionBy(strata_col)
+    ranked = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    # cumulative cut points: split i covers rows (cut_{i-1}, cut_i];
+    # the last split is the CASE default, absorbing any remainder
+    cum = 0.0
+    conds = []
+    for name, frac in zip(names[:-1], fracs[:-1]):
+        cum += frac
+        conds.append((name, cum))
+    expr = F.lit(names[-1])
+    for name, cumf in reversed(conds):
+        expr = F.when(
+            F.col("_rn") <= F.floor(F.lit(cumf) * F.col("_n")), F.lit(name)
+        ).otherwise(expr)
+    return ranked.select(id_col, strata_col, expr.alias("split"))

@@ -378,3 +378,47 @@ def strip_frequent_lines(
             ),
         )
     )
+
+
+def top_ngrams_per_group(
+    docs: DataFrame,
+    group_col: str,
+    n: int = 2,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most frequent word n-grams per group (source/domain/lang)
+    — the standard corpus-inspection report for spotting boilerplate,
+    templates and contamination before filtering. (group, gram, count,
+    rank) with a fully deterministic order (count desc, gram asc).
+    Plan: explode → one partial-agg groupBy → per-group top-k window
+    over the (group, gram) COUNTS (cardinality #distinct grams, not
+    corpus size); no collects, no unbounded arrays."""
+    from pyspark.sql import Window
+
+    from ..functions.text import word_shingles_expr
+
+    grams = docs.select(
+        F.col(group_col),
+        F.explode(
+            word_shingles_expr(text_col, n)
+            if n > 1
+            else tokens_expr(text_col)
+        ).alias("gram"),
+    )
+    counts = grams.groupBy(group_col, "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n_occurrences"), F.asc("gram")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            group_col,
+            "gram",
+            "n_occurrences",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -88,3 +88,57 @@ def test_funnel_stages_hand_events(spark):
     )
     got = {r.stage: (r.stage_idx, r.n_users) for r in ev.funnel_stages(df).collect()}
     assert got == {"view": (1, 3), "click": (2, 1), "purchase": (3, 1)}
+
+
+def test_asof_join_semantics(spark):
+    """Equal timestamps match (>=), later state wins, unmatched left
+    rows keep nulls (left) or drop (inner), column clashes rejected."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import events
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 20), (3, 100, 5), (4, 200, 50)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, 111), (100, 15, 222), (300, 1, 999)],
+        "user_id long, ts long, state long",
+    )
+    out = {
+        r.event_id: r.state
+        for r in events.asof_join(left, right, ["user_id"], "ts").collect()
+    }
+    assert out[1] == 111   # equal ts matches
+    assert out[2] == 222   # latest state at/before 20
+    assert out[3] is None  # before any right row
+    assert out[4] is None  # user with no right rows at all
+    inner = events.asof_join(left, right, ["user_id"], "ts", how="inner")
+    assert {r.event_id for r in inner.collect()} == {1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        events.asof_join(
+            left, right.withColumnRenamed("state", "event_id"), ["user_id"], "ts"
+        )
+
+
+def test_retention_cohorts_hand(spark):
+    """Two users, one cohort day apart; offsets count distinct users."""
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import events
+
+    day = 86_400_000_000
+    rows = [
+        (1, 0), (1, day), (1, 2 * day),       # user 1: days 0,1,2
+        (2, day), (2, day + 1), (2, 3 * day), # user 2: days 1,1,3
+    ]
+    ev = spark.createDataFrame(
+        [(u, us) for u, us in rows], "user_id long, us long"
+    ).selectExpr("user_id", "timestamp_micros(us) AS ts")
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in events.retention_cohorts(ev).collect()
+    }
+    assert got[(0, 0)] == 1 and got[(0, 1)] == 1 and got[(0, 2)] == 1
+    assert got[(1, 0)] == 1 and got[(1, 2)] == 1
+    assert (1, 1) not in got  # user 2 has no day-2 event

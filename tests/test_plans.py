@@ -163,3 +163,25 @@ def test_lsh_uncapped_is_self_join_no_collect(spark):
     plan = _plan(df, execute=True)
     assert "collect_list" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_single_pass_window_not_range_join(spark):
+    """The as-of join must stay a union + key-partitioned window (each
+    row shuffled once) — never a range/theta join, whose cross-product
+    per key would explode on hot keys at scale."""
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import events
+
+    left = spark.createDataFrame(
+        [(i, i % 5, i * 10) for i in range(100)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(i % 5, i * 7, i) for i in range(40)],
+        "user_id long, ts long, state long",
+    )
+    df = events.asof_join(left, right, ["user_id"], "ts")
+    plan = _plan(df, execute=True)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # not a join at all: a window
+    assert "RunningWindowFunction" in plan or "Window" in plan

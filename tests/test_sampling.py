@@ -155,3 +155,27 @@ def test_pack_sequences_string_ids(spark):
     again = packing.pack_sequences(docs, seq_len=8, n_buckets=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     assert all(0 <= r.start_in_pack < 8 for r in out)
+
+
+def test_stratified_split_exact_proportions(spark):
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b", "t") for i in range(140)],
+        "doc_id long, source string, text string",
+    )
+    out = sampling.stratified_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    from collections import Counter
+
+    c = Counter((r.source, r.split) for r in out)
+    assert c[("a", "train")] == 80 and c[("a", "val")] == 10 and c[("a", "test")] == 10
+    assert c[("b", "train")] == 32 and c[("b", "val")] == 4 and c[("b", "test")] == 4
+    # deterministic under reordered input
+    again = sampling.stratified_split(
+        docs.orderBy(F.desc("doc_id")),
+        "source",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).collect()
+    assert {(r.doc_id, r.split) for r in out} == {(r.doc_id, r.split) for r in again}

@@ -80,3 +80,26 @@ def test_corpus_filter_is_single_stage(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = textstats.corpus_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_top_ngrams_per_group(spark):
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x y x y z"),
+            (2, "a", "x y q"),
+            (3, "b", "solo"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = [
+        (r.source, r.gram, r.n_occurrences, r.rank)
+        for r in textstats.top_ngrams_per_group(docs, "source", n=2, k=2)
+        .orderBy("source", "rank")
+        .collect()
+    ]
+    # "x y" occurs 3x in source a ("x y x y z" has x y twice: pos1,3)
+    assert out[0] == ("a", "x y", 3, 1)
+    assert out[1][0] == "a" and out[1][3] == 2
+    assert all(s != "b" for s, *_ in out)  # <2 tokens → no bigrams
