@@ -159,6 +159,7 @@ def main() -> None:
         "code_strip_boilerplate",
         "media_features",
         "dedup_ngram_jaccard_incremental",
+        "dedup_minhash_lsh_incremental",
         "events_asof_join",
         "events_retention",
         "corpus_stratified_split",

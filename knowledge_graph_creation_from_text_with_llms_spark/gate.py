@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.hashing import md5_qid
-from .functions.text import bigrams_expr, tokens_expr
+from .functions.text import bigrams_expr, tokens_expr, word_shingles_expr
 from .operators import canonicalizer, contamination, dedup, events, graph
 from .operators import linker, metrics, parser, sampling, similarity, textstats
 from .operators.chunker import chunk_array_udf
@@ -851,6 +851,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.5)
 
 
+@_q(
+    "dedup_minhash_lsh_incremental",
+    f"""
+WITH {SQL_SHINGLES.lstrip()},
+{_MH_SQL_SIGS.lstrip()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+FROM cand c
+JOIN shingles sa ON sa.doc_id = c.id_a
+JOIN shingles sb ON sb.doc_id = c.id_b
+WHERE (c.id_a % 7 = 0 OR c.id_b % 7 = 0)
+  AND CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(sa.sh || sb.sh)) >= 0.5e0
+""",
+)
+def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta (doc_id % 7 = 0) probed against the prior corpus's
+    snapshotted band/shingle index — must equal the full run's LSH
+    pairs that touch the delta (what the oracle computes), so the
+    incremental index path is hash-verified, not just pytest-asserted.
+    The index is checkpointed once, the realistic shape (a snapshot
+    read from disk, not recomputed per probe)."""
+    docs = _docs(spark, sf_dir)
+    prior = docs.where(F.col("doc_id") % 7 != 0)
+    delta = docs.where(F.col("doc_id") % 7 == 0)
+    prior_bands = dedup.minhash_band_keys(prior).localCheckpoint(eager=True)
+    prior_sh = prior.select(
+        F.col("doc_id"),
+        F.array_distinct(word_shingles_expr("text", 3)).alias("_sh"),
+    ).localCheckpoint(eager=True)
+    pairs, _, _ = dedup.minhash_lsh_pairs_incremental(
+        delta, prior_bands, prior_sh, jaccard_threshold=0.5
+    )
+    return pairs
+
+
 # -- 13. simhash ---------------------------------------------------------------------
 
 @_q(
@@ -922,7 +965,14 @@ def dedup_ngram_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     docs = _docs(spark, sf_dir)
     prior = docs.where(F.col("doc_id") % 7 != 0)
     delta = docs.where(F.col("doc_id") % 7 == 0)
-    posting, shingles, dfreq = dedup.ngram_index(prior, "source")
+    # checkpoint the index once — the realistic shape (a snapshot read
+    # from disk); without it the probe DAG re-shingles the prior
+    # corpus for each of the index's several uses (same reasoning as
+    # kg_khop's edge-list checkpoint)
+    posting, shingles, dfreq = (
+        df.localCheckpoint(eager=True)
+        for df in dedup.ngram_index(prior, "source")
+    )
     pairs, _, _, _ = dedup.ngram_jaccard_pairs_incremental(
         delta, posting, shingles, dfreq, "source", threshold=0.3
     )

@@ -243,3 +243,104 @@ def stream_dedup_exact(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_neardup_probe(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    prior_bands: DataFrame,
+    prior_shingles: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Streaming near-duplicate detection: arriving documents probe the
+    STATIC snapshotted LSH index (`dedup.minhash_band_keys` output +
+    shingle sets — the same snapshot the batch incremental operator
+    folds forward) and emit exact-verified (prior_id, stream_id,
+    jaccard) pairs.
+
+    Plan shape: the band-key map is the same map-only expression
+    pipeline as batch (streaming-safe — no aggregation), candidates
+    come from a stream-static equijoin on (band_id, band_key), and the
+    exact Jaccard verify carries the stream row's own shingle set on
+    the row (no second stream scan) while the prior side joins the
+    static shingle snapshot. Append mode, no watermark needed —
+    stream-static joins are stateless. Stream×stream (within-delta)
+    pairs are the batch incremental fold's job when the delta is
+    appended to the index; this operator is the low-latency
+    stream×prior alert path.
+    """
+    from ..functions.text import word_shingles_expr
+    from ..operators.dedup import minhash_band_keys
+
+    raw = (
+        spark.readStream.schema(DOCS_STREAM_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .json(source_dir)
+    )
+    docs = raw.select(
+        "doc_id",
+        "text",
+        F.col("ts").alias("event_ts"),
+        F.array_distinct(word_shingles_expr("text", shingle_n)).alias("_ssh"),
+    )
+    bands = minhash_band_keys(
+        docs, "doc_id", "text", num_hashes, rows_per_band, shingle_n
+    )
+    # re-attach the stream row's shingles (band builder projects them
+    # away); join keys are the stream's own columns — still stateless
+    stream_side = bands.join(
+        docs.select(F.col("doc_id"), "event_ts", "_ssh"), "doc_id"
+    ).select(
+        F.col("doc_id").alias("stream_id"),
+        "band_id",
+        "band_key",
+        "event_ts",
+        "_ssh",
+    )
+    prior = prior_bands.select(
+        F.col("doc_id").alias("prior_id"), "band_id", "band_key"
+    )
+    # a pair colliding in k bands appears k times: dedup with BOUNDED
+    # state (watermark horizon), not plain dropDuplicates whose state
+    # grows with the stream
+    cand = (
+        stream_side.join(prior, ["band_id", "band_key"])
+        .where(F.col("prior_id") != F.col("stream_id"))
+        .select("prior_id", "stream_id", "event_ts", "_ssh")
+        .withWatermark("event_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["prior_id", "stream_id"])
+    )
+    verified = (
+        cand.join(
+            prior_shingles.select(
+                F.col("doc_id").alias("prior_id"), F.col("_sh").alias("_psh")
+            ),
+            "prior_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_ssh", "_psh"))
+            / F.size(F.array_union("_ssh", "_psh")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            F.col("prior_id").alias("id_a"),
+            F.col("stream_id").alias("id_b"),
+            "jaccard",
+        )
+    )
+    writer = (
+        verified.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

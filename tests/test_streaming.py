@@ -181,3 +181,66 @@ def test_stream_dedup_exact_across_restarts(spark, tmp_path):
     q2.awaitTermination(120)
     texts = sorted(r.text for r in spark.read.parquet(out).collect())
     assert texts == ["alpha text", "beta text", "gamma text"]
+
+
+def test_stream_neardup_probe_against_static_index(spark, tmp_path):
+    """Arriving docs probe the static LSH snapshot: a streamed near-dup
+    of a prior doc emits exactly one verified pair (multi-band
+    collisions deduped with bounded state); unrelated docs emit
+    nothing; the pair set matches the batch incremental operator's
+    delta×prior portion."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_creation_from_text_with_llms_spark.functions.text import (
+        word_shingles_expr,
+    )
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import dedup
+    from knowledge_graph_creation_from_text_with_llms_spark.streaming.stream import (
+        stream_neardup_probe,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    prior = spark.createDataFrame(
+        [(1, base), (2, "totally different words about other things here")],
+        "doc_id long, text string",
+    )
+    prior_bands = dedup.minhash_band_keys(prior).localCheckpoint(eager=True)
+    prior_sh = prior.select(
+        "doc_id", F.array_distinct(word_shingles_expr("text", 3)).alias("_sh")
+    ).localCheckpoint(eager=True)
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    _os.makedirs(src, exist_ok=True)
+    with open(_os.path.join(src, "a.json"), "w") as f:
+        for doc_id, text, ts in [
+            (10, base + " iota", "2024-01-01T00:00:00Z"),   # near-dup of 1
+            (11, "novel fresh unrelated content entirely", "2024-01-01T00:01:00Z"),
+        ]:
+            f.write(_json.dumps({"doc_id": doc_id, "text": text, "ts": ts}) + "\n")
+
+    q = stream_neardup_probe(
+        spark, src, ckpt, out, prior_bands, prior_sh, jaccard_threshold=0.5
+    )
+    q.awaitTermination(120)
+    got = {(r.id_a, r.id_b): r.jaccard for r in spark.read.parquet(out).collect()}
+    assert set(got) == {(1, 10)}
+    assert 0.5 <= got[(1, 10)] < 1.0
+
+    # batch cross-check: the stream×prior pairs equal the incremental
+    # operator's delta×prior portion on the same inputs
+    delta = spark.createDataFrame(
+        [(10, base + " iota"), (11, "novel fresh unrelated content entirely")],
+        "doc_id long, text string",
+    )
+    inc, _, _ = dedup.minhash_lsh_pairs_incremental(
+        delta, prior_bands, prior_sh, jaccard_threshold=0.5
+    )
+    batch_dp = {
+        (r.id_a, r.id_b)
+        for r in inc.collect()
+        if (r.id_a in (1, 2)) != (r.id_b in (1, 2))
+    }
+    assert set(got) == batch_dp
