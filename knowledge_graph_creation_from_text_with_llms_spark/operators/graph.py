@@ -315,7 +315,7 @@ def pagerank(
     src_col: str = "src_id",
     dst_col: str = "dst_id",
     damping_pct: int = 85,
-    scale: int = 10**12,
+    scale: int | str = 10**12,
     redistribute_dangling: bool = False,
 ) -> DataFrame:
     """PageRank over the directed simple graph of `edges`, in
@@ -342,7 +342,12 @@ def pagerank(
     the update (no data-scale driver traffic; only N, a scalar, is
     collected once). Overflow bound: d·Σ ≤ 85 · N ·
     scale must stay under 2^63 → N ≤ ~10^5 at the default scale; lower
-    `scale` for bigger graphs (10^9 supports N ≈ 10^8).
+    `scale` for bigger graphs (10^9 supports N ≈ 10^8), or pass
+    scale="auto" to derive it from the node count: scale =
+    max(10^4, 2^62 // (100·N)) keeps 85·N·scale < 2^63 with ≥10^4
+    fixed-point precision up to N ≈ 4.6·10^14 nodes — the whole
+    10^12-file regime. Auto mode costs one count() (a scalar) and is
+    bit-reproducible for a given graph.
 
     Each iteration is one key-partitioned join (ranks onto edge
     sources) + one aggregation (incoming sums) — the canonical
@@ -361,8 +366,11 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    if scale == "auto":
+        n_total = nodes.count()
+        scale = max(10**4, (2**62) // (100 * max(n_total, 1)))
     base = (100 - damping_pct) * scale
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
     ranks = nodes.withColumn("rank_int", F.lit(scale).cast("long"))
     if redistribute_dangling:
         dangling = nodes.join(

@@ -145,3 +145,67 @@ def test_group_percentiles_exact_vs_numpy_disc(spark):
             expect = vals[math.ceil(p * n) - 1]
             assert got[g][col] == expect, (g, p)
         assert got[g]["n_rows"] == n
+
+
+def test_asof_join_matches_bruteforce_on_random_data(spark):
+    """One batched Spark run over a deterministic pseudo-random
+    dataset: the union+window as-of join must equal the per-row
+    brute-force definition (latest right.ts <= left.ts per key)."""
+    import hashlib
+
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import events
+
+    def h(i, salt):
+        return int(hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:8], 16)
+
+    left_rows = [
+        (i, h(i, "lk") % 7, h(i, "lt") % 50) for i in range(300)
+    ]
+    right_rows = list({
+        (h(i, "rk") % 7, h(i, "rt") % 50): i for i in range(120)
+    }.items())  # unique per (key, ts) by construction
+    right_rows = [(k, t, v) for (k, t), v in right_rows]
+
+    left = spark.createDataFrame(left_rows, "event_id long, k long, ts long")
+    right = spark.createDataFrame(right_rows, "k long, ts long, state long")
+    got = {
+        r.event_id: r.state
+        for r in events.asof_join(left, right, ["k"], "ts").collect()
+    }
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, t, v in right_rows:
+        by_key.setdefault(k, []).append((t, v))
+    for eid, k, t in left_rows:
+        cands = [(rt, v) for rt, v in by_key.get(k, []) if rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[eid] == want, (eid, k, t, got[eid], want)
+
+
+def test_stratified_split_counts_exact_on_random_fractions(spark):
+    """floor-cut exactness holds for arbitrary fraction pairs and
+    stratum sizes (one batched run, several configs)."""
+    import math
+
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import sampling
+
+    rows = [
+        (i, f"s{i % 5}", "x") for i in range(523)
+    ]  # uneven strata: 105/105/105/104/104
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    for fr in ({"a": 0.5, "b": 0.5}, {"a": 0.73, "b": 0.2, "c": 0.07},
+               {"a": 0.9, "b": 0.1}):
+        out = sampling.stratified_split(docs, "source", fr).collect()
+        from collections import Counter
+
+        n_by_stratum = Counter(r.source for r in out)
+        c = Counter((r.source, r.split) for r in out)
+        names = list(fr)
+        for s, n in n_by_stratum.items():
+            cum = 0.0
+            prev_cut = 0
+            for name in names[:-1]:
+                cum += fr[name]
+                cut = math.floor(cum * n)
+                assert c[(s, name)] == cut - prev_cut, (fr, s, name)
+                prev_cut = cut
+            assert c[(s, names[-1])] == n - prev_cut
