@@ -160,6 +160,7 @@ def main() -> None:
         "media_features",
         "dedup_ngram_jaccard_incremental",
         "dedup_minhash_lsh_incremental",
+        "dedup_embedding_neardup_incremental",
         "events_asof_join",
         "events_retention",
         "corpus_stratified_split",

@@ -1031,6 +1031,41 @@ def dedup_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_embedding_neardup_incremental",
+    f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bkt
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_SQL_COS} AS cos
+FROM v a JOIN v b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE (a.vec_id % 7 = 0 OR b.vec_id % 7 = 0)
+  AND {_SQL_COS} >= 0.3e0
+""",
+)
+def dedup_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta vectors (vec_id % 7 = 0) probed against the prior
+    corpus's snapshotted hyperplane-bucket index — equals the batch
+    auto-blocked pairs touching the delta (what the oracle computes),
+    completing the incremental trio (MinHash, n-gram, embedding)."""
+    embs = _embs(spark, sf_dir)
+    prior = embs.where(F.col("vec_id") % 7 != 0)
+    delta = embs.where(F.col("vec_id") % 7 == 0)
+    idx = dedup.embedding_index(prior, auto_block_bits=4).localCheckpoint(
+        eager=True
+    )
+    pairs, _ = dedup.embedding_neardup_pairs_incremental(
+        delta, idx, threshold=0.3, auto_block_bits=4
+    )
+    return pairs
+
+
 # -- 16/17. ANN top-k --------------------------------------------------------------
 
 _SQL_ANN_BASE = f"""

@@ -506,6 +506,78 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_incremental(
+    new_vectors: DataFrame,
+    prior_index: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    auto_block_bits: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental embedding near-dup: delta vectors probe the prior
+    corpus's snapshotted hyperplane-bucket index — (id, embedding,
+    _blk) rows from `embedding_index` — and emit cosine pairs touching
+    the delta (delta×prior and delta×delta). The hyperplane code of a
+    vector never changes, so the index is append-only: fold a delta in
+    by appending its returned index rows, identical to the MinHash and
+    n-gram incremental contracts. Same approximation as the batch
+    auto-blocked operator (a near-dup straddling a sign boundary is
+    missed), so incremental == batch pairs touching the delta,
+    exactly (tested).
+
+    Returns (pairs, new_index_rows).
+    """
+    from ..functions.vectors import cosine_expr
+    from .similarity import hyperplane_bucket_expr
+
+    new_index = new_vectors.select(
+        F.col(id_col),
+        F.col(emb_col),
+        hyperplane_bucket_expr(F.col(emb_col), bits=auto_block_bits).alias(
+            "_blk"
+        ),
+    )
+    d = new_index.select(
+        "_blk", F.col(id_col).alias("_ida"), F.col(emb_col).alias("_ea")
+    )
+    u = new_index.unionByName(prior_index).select(
+        "_blk", F.col(id_col).alias("_idb"), F.col(emb_col).alias("_eb")
+    )
+    pairs = (
+        d.join(u, "_blk")
+        .where(F.col("_ida") != F.col("_idb"))
+        .withColumn("cos", cosine_expr(F.col("_ea"), F.col("_eb")))
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "cos",
+        )
+        .distinct()
+    )
+    return pairs, new_index
+
+
+def embedding_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    auto_block_bits: int = 8,
+) -> DataFrame:
+    """Build the snapshot index `embedding_neardup_pairs_incremental`
+    probes: (id, embedding, _blk hyperplane code). Append deltas'
+    returned index rows to fold them in."""
+    from .similarity import hyperplane_bucket_expr
+
+    return vectors.select(
+        F.col(id_col),
+        F.col(emb_col),
+        hyperplane_bucket_expr(F.col(emb_col), bits=auto_block_bits).alias(
+            "_blk"
+        ),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",

@@ -325,3 +325,56 @@ def test_ngram_incremental_equals_full_run(spark):
         (r.id_a, r.id_b) for r in full2.collect() if 20 in (r.id_a, r.id_b)
     }
     assert got2 == want2 and got2
+
+
+def test_embedding_incremental_equals_full_run(spark):
+    """Delta probed against the snapshotted hyperplane index must emit
+    exactly the batch auto-blocked pairs that touch the delta; folding
+    the delta's index rows in keeps the equivalence."""
+    import math
+
+    def vec(seed, flip=False):
+        v = [math.cos(seed + 0.1 * d) for d in range(8)]
+        return [-x for x in v] if flip else v
+
+    prior = spark.createDataFrame(
+        [(1, vec(0.0)), (2, vec(0.05)), (3, vec(2.5))],
+        "vec_id long, embedding array<double>",
+    )
+    delta = spark.createDataFrame(
+        [(10, vec(0.02)), (11, vec(4.0))],
+        "vec_id long, embedding array<double>",
+    )
+    idx = dedup.embedding_index(prior, auto_block_bits=4)
+    inc, d_idx = dedup.embedding_neardup_pairs_incremental(
+        delta, idx, threshold=0.9, auto_block_bits=4
+    )
+    got = {(r.id_a, r.id_b) for r in inc.collect()}
+    full = dedup.embedding_neardup_pairs(
+        prior.unionByName(delta), block_col=None, threshold=0.9,
+        auto_block_bits=4,
+    )
+    want = {
+        (r.id_a, r.id_b)
+        for r in full.collect()
+        if r.id_a in (10, 11) or r.id_b in (10, 11)
+    }
+    assert got == want and got  # non-trivial
+
+    # fold and probe a second delta
+    idx2 = idx.unionByName(d_idx)
+    delta2 = spark.createDataFrame(
+        [(20, vec(0.03))], "vec_id long, embedding array<double>"
+    )
+    inc2, _ = dedup.embedding_neardup_pairs_incremental(
+        delta2, idx2, threshold=0.9, auto_block_bits=4
+    )
+    got2 = {(r.id_a, r.id_b) for r in inc2.collect()}
+    full2 = dedup.embedding_neardup_pairs(
+        prior.unionByName(delta).unionByName(delta2),
+        block_col=None, threshold=0.9, auto_block_bits=4,
+    )
+    want2 = {
+        (r.id_a, r.id_b) for r in full2.collect() if 20 in (r.id_a, r.id_b)
+    }
+    assert got2 == want2 and got2
