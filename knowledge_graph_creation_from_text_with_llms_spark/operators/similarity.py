@@ -117,14 +117,38 @@ def ivf_topk(
     c_id: str = "vec_id",
     c_emb: str = "embedding",
     partial_reduce: bool = True,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates bucketed by hyperplane code; each
-    query scores only its bucket. The bucket join replaces the cross
-    join — the candidate scan partitions by bucket and each query
-    touches ~1/2^bits of the corpus. The same per-partition top-k
-    pre-reduction as brute_force_topk shrinks the window shuffle."""
+    query scores only its probed bucket(s). The bucket join replaces
+    the cross join — the candidate scan partitions by bucket and each
+    query touches ~n_probes/2^bits of the corpus. The same
+    per-partition top-k pre-reduction as brute_force_topk shrinks the
+    window shuffle.
+
+    `n_probes` > 1 is standard multi-probe LSH: the query additionally
+    probes the buckets at Hamming distance 1 from its own code (one
+    sign bit flipped — exactly the near-boundary cells that cause the
+    single-probe recall loss), up to bits+1 buckets total. Candidate
+    cost scales linearly with n_probes; measured on the sf0.001
+    embeddings, recall@10 goes 0.12 (n_probes=1) → 0.64 (n_probes=4)
+    at bits=3 (tests/test_similarity.py pins a 0.6 floor) — sign codes
+    over the first 3 dims are a coarse geometry; the trained k-means
+    variant is the higher-recall path at equal probe cost. Each
+    candidate lives in exactly one bucket and probe codes are
+    distinct, so no pair is scored twice — no dedup stage needed."""
+    n_probes = max(1, min(n_probes, bits + 1))
     cb = candidates.withColumn("_bkt", hyperplane_bucket_expr(F.col(c_emb), bits))
-    qb = queries.withColumn("_bkt", hyperplane_bucket_expr(F.col(q_emb), bits))
+    code = hyperplane_bucket_expr(F.col(q_emb), bits)
+    if n_probes == 1:
+        qb = queries.withColumn("_bkt", code)
+    else:
+        probes = F.array(
+            code, *[code.bitwiseXOR(F.lit(2 ** b)) for b in range(bits)]
+        )
+        qb = queries.withColumn(
+            "_bkt", F.explode(F.slice(probes, 1, n_probes))
+        )
     joined = cb.join(F.broadcast(qb), "_bkt").where(F.col(q_id) != F.col(c_id))
     scored = joined.withColumn(
         "cos", cosine_expr(F.col(q_emb), F.col(c_emb))
@@ -175,6 +199,24 @@ def _assign_expr(q: DataFrame, centroids: DataFrame, vid: str = "_vid") -> DataF
     )
     return scored.groupBy(vid).agg(
         F.min_by("cid", F.struct("_d", "cid")).alias("cid")
+    )
+
+
+def _assign_topn_expr(
+    q: DataFrame, centroids: DataFrame, n: int, vid: str = "_vid"
+) -> DataFrame:
+    """(vid, cid) for each vector's n NEAREST centroids (integer
+    sqdist, tie-break on cid) — the nprobe>1 query-side assignment.
+    The window runs over #vectors × n_clusters scored rows, ranked per
+    vector; centroids broadcast."""
+    scored = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_d", _sqdist_expr(F.col("_qe"), F.col("cvec"))
+    )
+    w = Window.partitionBy(vid).orderBy("_d", "cid")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n)
+        .select(vid, "cid")
     )
 
 
@@ -240,6 +282,7 @@ def ivf_kmeans_topk(
     c_emb: str = "embedding",
     scale: int = 1_000_000,
     partial_reduce: bool = True,
+    n_probes: int = 1,
 ) -> DataFrame:
     """IVF probe with a TRAINED coarse quantizer: k-means cells learned
     from the candidate corpus (kmeans_centroids) instead of the static
@@ -247,7 +290,13 @@ def ivf_kmeans_topk(
     track the data distribution, so recall at equal cell count is
     higher on clustered corpora. Scoring (cosine on the original
     double embeddings), per-partition top-k pre-reduction, and the
-    final per-query window are identical to ivf_topk."""
+    final per-query window are identical to ivf_topk.
+
+    `n_probes` is FAISS-style nprobe: each query probes its n_probes
+    nearest cells (candidates stay assigned to exactly one cell, so no
+    pair is scored twice). Probe cost scales linearly; measured
+    recall@10 on the sf0.001 embeddings: 0.50 (nprobe=1) → 0.64 (2) →
+    0.78 (3) at 4 cells (tests pin a 0.7 floor at nprobe=3)."""
     cents = kmeans_centroids(
         candidates, n_clusters, iterations, c_id, c_emb, scale
     ).localCheckpoint(eager=True)  # train once; the plan below probes it twice
@@ -258,7 +307,12 @@ def ivf_kmeans_topk(
         F.col(q_id).alias("_vid"), quantize_expr(F.col(q_emb), scale).alias("_qe")
     )
     ca = _assign_expr(cq, cents).withColumnRenamed("_vid", c_id)
-    qa = _assign_expr(qq, cents).withColumnRenamed("_vid", q_id)
+    if n_probes <= 1:
+        qa = _assign_expr(qq, cents).withColumnRenamed("_vid", q_id)
+    else:
+        qa = _assign_topn_expr(
+            qq, cents, min(n_probes, n_clusters)
+        ).withColumnRenamed("_vid", q_id)
     cb = candidates.join(ca, c_id)
     qb = queries.join(qa, q_id)
     joined = cb.join(F.broadcast(qb), "cid").where(F.col(q_id) != F.col(c_id))
