@@ -185,3 +185,44 @@ def test_asof_join_is_single_pass_window_not_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan  # not a join at all: a window
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_incremental_dedup_paths_have_no_cartesian_product(spark):
+    """The incremental probes (minhash, n-gram, embedding) must stay
+    key-partitioned joins against their snapshot indexes — a
+    cross product on any default path is a scale-killer regression."""
+    docs = _docs(spark)
+    prior = docs.where(F.col("doc_id") % 3 != 0)
+    delta = docs.where(F.col("doc_id") % 3 == 0)
+
+    prior_bands = dedup.minhash_band_keys(prior)
+    prior_sh = prior.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(size(split(text,' '))-2,0)),"
+            " i -> concat_ws(' ', slice(split(text,' '), i, 3))))"
+        ).alias("_sh"),
+    )
+    mh, _, _ = dedup.minhash_lsh_pairs_incremental(delta, prior_bands, prior_sh)
+    assert "CartesianProduct" not in _plan(mh, execute=True)
+
+    docs_b = docs.withColumn("source", F.lit("s"))
+    posting, shingles, dfreq = dedup.ngram_index(
+        docs_b.where(F.col("doc_id") % 3 != 0), "source"
+    )
+    ng, _, _, _ = dedup.ngram_jaccard_pairs_incremental(
+        docs_b.where(F.col("doc_id") % 3 == 0), posting, shingles, dfreq, "source"
+    )
+    assert "CartesianProduct" not in _plan(ng, execute=True)
+
+    vecs = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*[(F.col("doc_id") % (i + 2)).cast("double") - 0.5 for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    idx = dedup.embedding_index(vecs.where(F.col("vec_id") % 3 != 0), auto_block_bits=4)
+    em, _ = dedup.embedding_neardup_pairs_incremental(
+        vecs.where(F.col("vec_id") % 3 == 0), idx, threshold=0.5, auto_block_bits=4
+    )
+    assert "CartesianProduct" not in _plan(em, execute=True)
