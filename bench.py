@@ -165,6 +165,7 @@ def main() -> None:
         "events_retention",
         "corpus_stratified_split",
         "text_top_ngrams",
+        "text_gopher_rules",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

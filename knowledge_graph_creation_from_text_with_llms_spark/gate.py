@@ -2703,3 +2703,69 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.top_ngrams_per_group(
         _docs(spark, sf_dir), "source", n=2, k=5
     )
+
+
+# -- 31. Gopher quality rules ------------------------------------------------------
+
+
+@_q(
+    "text_gopher_rules",
+    f"""
+WITH base AS (
+  SELECT doc_id, text, {TOK} AS ws,
+         string_split(text, chr(10)) AS ls
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         CASE WHEN len(ws) > 0
+              THEN CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+                   / len(ws)
+              ELSE 0e0 END AS mean_word_len,
+         CASE WHEN len(ws) > 0
+              THEN (CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+                    + floor((len(text) - len(replace(text, '...', ''))) / 3))
+                   / len(ws)
+              ELSE 0e0 END AS symbol_ratio,
+         CASE WHEN len(ls) > 0
+              THEN CAST(len(list_filter(ls, l ->
+                     starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+                     OR starts_with(ltrim(l), '•'))) AS DOUBLE) / len(ls)
+              ELSE 0e0 END AS bullet_frac,
+         CASE WHEN len(ls) > 0
+              THEN CAST(len(list_filter(ls, l ->
+                     ends_with(rtrim(l), '...'))) AS DOUBLE) / len(ls)
+              ELSE 0e0 END AS ellipsis_frac,
+         CASE WHEN len(ws) > 0
+              THEN CAST(len(list_filter(ws, w ->
+                     regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws)
+              ELSE 0e0 END AS alpha_frac,
+         len(list_intersect(list_distinct(ws),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop_hits
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac,
+       CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+       (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+       (mean_word_len >= 3 AND mean_word_len <= 10) AS pass_mean_word_len,
+       (symbol_ratio <= 0.1e0) AS pass_symbol_ratio,
+       (bullet_frac <= 0.9e0) AS pass_bullet_lines,
+       (ellipsis_frac <= 0.3e0) AS pass_ellipsis_lines,
+       (alpha_frac >= 0.8e0) AS pass_alpha_words,
+       (n_stop_hits >= 2) AS pass_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3 AND mean_word_len <= 10)
+        AND symbol_ratio <= 0.1e0 AND bullet_frac <= 0.9e0
+        AND ellipsis_frac <= 0.3e0 AND alpha_frac >= 0.8e0
+        AND n_stop_hits >= 2) AS keep
+FROM m
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality heuristics as a shuffle-free
+    projection with per-rule audit flags — every metric, flag and the
+    composed keep decision hash-verified against the SQL twin."""
+    return textstats.gopher_rules(_docs(spark, sf_dir))

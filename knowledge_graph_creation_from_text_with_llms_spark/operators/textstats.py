@@ -422,3 +422,95 @@ def top_ngrams_per_group(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The published Gopher quality heuristics (Rae et al. 2021, §A1.1)
+    as one shuffle-free projection: per-document rule metrics, a flag
+    per rule, and the composed keep decision — auditable like
+    corpus_filter (a row explains WHY it was dropped). All native
+    expressions; thresholds are the paper's.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; symbol-to-word ratio (# and ellipsis) <= 0.1; <= 90% of
+    lines starting with a bullet; <= 30% ending with an ellipsis;
+    >= 80% of words containing an alphabetic character; >= 2 distinct
+    everyday stopwords present.
+    """
+    t = F.col(text_col)
+    toks = tokens_expr(text_col)
+    n_words = F.size(toks)
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        )
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = F.floor(
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    )
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis) / n_words
+    ).otherwise(F.lit(0.0))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.ltrim(l).startswith("-")
+                | F.ltrim(l).startswith("*")
+                | F.ltrim(l).startswith("•"),
+            )
+        )
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    gopher_stops = F.array(
+        *[F.lit(s) for s in ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    n_stop_hits = F.size(
+        F.array_intersect(F.array_distinct(toks), gopher_stops)
+    )
+    rules = {
+        "pass_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "pass_mean_word_len": (mean_word_len >= 3) & (mean_word_len <= 10),
+        "pass_symbol_ratio": symbol_ratio <= 0.1,
+        "pass_bullet_lines": bullet_frac <= 0.9,
+        "pass_ellipsis_lines": ellipsis_frac <= 0.3,
+        "pass_alpha_words": alpha_frac >= 0.8,
+        "pass_stopwords": n_stop_hits >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.cast("double").alias("mean_word_len"),
+        symbol_ratio.cast("double").alias("symbol_ratio"),
+        bullet_frac.cast("double").alias("bullet_frac"),
+        ellipsis_frac.cast("double").alias("ellipsis_frac"),
+        alpha_frac.cast("double").alias("alpha_frac"),
+        n_stop_hits.cast("long").alias("n_stop_hits"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    )

@@ -103,3 +103,27 @@ def test_top_ngrams_per_group(spark):
     assert out[0] == ("a", "x y", 3, 1)
     assert out[1][0] == "a" and out[1][3] == 2
     assert all(s != "b" for s, *_ in out)  # <2 tokens → no bigrams
+
+
+def test_gopher_rules_flags(spark):
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import textstats
+
+    good = " ".join(
+        ["the quick brown fox jumps over and under that lazy dog to be with it"]
+        * 5
+    )  # 70 words, everyday stopwords, normal lengths
+    bullets = "\n".join(f"- item {i}" for i in range(20))
+    symbols = "# word " * 60  # 60 words, 60 hashes -> ratio 1.0
+    short = "too short"
+    docs = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols), (4, short)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.gopher_rules(docs).collect()}
+    assert out[1].keep
+    assert not out[2].pass_bullet_lines and not out[2].keep
+    assert not out[3].pass_symbol_ratio and not out[3].keep
+    assert not out[4].pass_word_count and not out[4].keep
+    # audit columns explain the drop
+    assert out[2].bullet_frac == 1.0
+    assert out[1].n_stop_hits >= 2
