@@ -68,13 +68,30 @@ def salted_mention_counts(
         F.col(label_col).alias("_surface"),
         doc_key.alias("_doc"),
     ).where(F.col("canonical_key") != "")
-    # counts path — no arrays anywhere (allocating a collect_set per
-    # (key, doc) group dominated the stage at benchmark scale):
-    # phase 0 groups by (key, doc): the doc component spreads hub
-    # entities across all reducers and makes n_docs a plain count;
-    # phase 1 merges per (key, salt); phase 2 merges the S partials.
-    per_doc = keyed.groupBy("canonical_key", "_doc").agg(
-        F.count(F.lit(1)).alias("_cnt")
+    # ONE full-mention-size shuffle for both downstream paths: phase 0
+    # groups by (key, surface, doc) — surface is ~determined by
+    # (key, doc), so the group count matches the old (key, doc)
+    # grouping, but the counts path AND the alias path now both derive
+    # from this reduced table instead of each re-shuffling the raw
+    # mention set (the alias distinct previously carried the full
+    # mention rows a second time — measured as the worst-scaling part
+    # of the nodes stage, since shuffle scales below codegen on every
+    # host). The doc component still spreads hub entities across all
+    # reducers. No arrays anywhere at mention scale (a collect_set per
+    # (key, doc) group dominated the stage at benchmark scale).
+    # materialized once (localCheckpoint): Catalyst cannot reuse the
+    # exchange across the two consumers (column pruning makes their
+    # subplans differ), so without it both paths would re-shuffle the
+    # raw mentions — the exact duplication this phase exists to remove
+    per_doc_surface = (
+        keyed.groupBy("canonical_key", "_surface", "_doc")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    # phase 0b: (key, doc) — reduced-size reshuffle; phase 1 merges
+    # per (key, salt); phase 2 merges the S partials.
+    per_doc = per_doc_surface.groupBy("canonical_key", "_doc").agg(
+        F.sum("_cnt").alias("_cnt")
     )
     salted = per_doc.withColumn(
         "_salt", F.pmod(F.xxhash64("_doc"), F.lit(num_salts))
@@ -87,10 +104,10 @@ def salted_mention_counts(
         F.sum("_cnt").alias("n_mentions"),
         F.sum("_docs").alias("n_docs"),
     )
-    # aliases path — (key, surface) distinct is tiny (vocabulary-sized)
-    # and collects only once per key
+    # aliases path — distinct over the ALREADY-REDUCED phase-0 rows
+    # (vocabulary-sized), never the raw mentions; collects once per key
     aliases = (
-        keyed.select("canonical_key", "_surface")
+        per_doc_surface.select("canonical_key", "_surface")
         .distinct()
         .groupBy("canonical_key")
         .agg(F.array_sort(F.collect_set("_surface")).alias("aliases"))
