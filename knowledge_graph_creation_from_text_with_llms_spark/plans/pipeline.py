@@ -266,8 +266,14 @@ class KGPipeline:
         restricts to an explicit snapshot list (e.g. all snapshots that
         existed before the current delta). Replays any interrupted
         compaction first so the union never double-counts a folded
-        snapshot that crashed mid-drop."""
-        cat.recover(table)
+        snapshot that crashed mid-drop. The 5-minute grace window keeps
+        a reader from aborting a compaction that is legitimately IN
+        FLIGHT in the single driver (intent row written, rename
+        pending): fresh intents are left alone, and the read stays
+        correct either way — pre-rename the union sees only the inputs,
+        post-rename completion has no grace and the drops are
+        idempotent."""
+        cat.recover(table, grace_sec=300.0)
         snaps = upto if upto is not None else cat.snapshots(table)
         dfs = [cat.read(table, snapshot=s) for s in snaps]
         out = dfs[0]

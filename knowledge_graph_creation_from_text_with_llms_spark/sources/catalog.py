@@ -92,8 +92,19 @@ class ParquetCatalog:
         repartition_by: str | None = None,
         num_partitions: int | None = None,
     ) -> CommitInfo:
-        """Stage → atomic rename → manifest append."""
+        """Stage → atomic rename → manifest append.
+
+        Recovers any interrupted compaction of `table` FIRST: compact()
+        allocates its output id as latest+1, so after a crash before
+        its rename the snapshot list is unchanged and this write would
+        allocate the exact id the dead compaction intended — a later
+        recover() could then mistake this unrelated delta snapshot for
+        the committed compaction and drop the folded inputs. Recovering
+        up front retires the stale intent before the id is reused (the
+        commit token in recover() guards the same window a second way).
+        """
         t0 = time.time()
+        self.recover(table)
         snap = (self.latest_snapshot(table) or 0) + 1
         d = self._table_dir(table)
         os.makedirs(d, exist_ok=True)
@@ -201,6 +212,20 @@ class ParquetCatalog:
             shutil.rmtree(staging)
         union.write.mode("overwrite").parquet(staging)
         rows = _parquet_rows(staging)
+        # Commit token: stamped into the staging dir BEFORE the intent
+        # row, recorded in the intent, carried into `final` by the
+        # rename. recover() only treats `final` as the committed
+        # compaction output if the token matches — a snapshot dir that
+        # merely reuses the id (e.g. an incremental write after a
+        # pre-rename crash) can never trigger input drops. Dot-prefixed
+        # so Spark/pyarrow parquet readers ignore it.
+        import uuid
+
+        token = uuid.uuid4().hex
+        with open(
+            os.path.join(staging, ".compaction_token"), "w", encoding="utf-8"
+        ) as f:
+            f.write(token)
         self._append_manifest(
             {
                 "run_id": os.environ.get("KG_RUN_ID", "local"),
@@ -210,6 +235,7 @@ class ParquetCatalog:
                 "rows_out": rows,
                 "snapshot_id": snap,
                 "folded": snaps,
+                "token": token,
                 "wall_sec": round(time.time() - t0, 3),
                 "updated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
@@ -231,19 +257,37 @@ class ParquetCatalog:
         )
         return CommitInfo(table, snap, rows)
 
-    def recover(self, table: str) -> str | None:
+    def recover(self, table: str, grace_sec: float = 0.0) -> str | None:
         """Finish or roll back an interrupted compaction of `table`
         (Iceberg: the commit is transactional, so this is a no-op
         there; the parquet stand-in replays the intent row).
 
         Reads the last 'compacting' intent row not followed by a
         'compacted' row. Three crash windows:
-        - intent written, snapshot NOT renamed in → remove the orphan
-          staging dir; inputs untouched ('compaction_aborted').
-        - snapshot renamed in, some inputs not yet dropped → complete
-          the drops ('compacted', recovered flag).
+        - intent written, snapshot NOT renamed in (or a snapshot with
+          that id exists but FAILS commit-token verification — i.e. an
+          unrelated write reused the id) → remove the orphan staging
+          dir; inputs and the unrelated snapshot untouched
+          ('compaction_aborted').
+        - snapshot renamed in AND token-verified, some inputs not yet
+          dropped → complete the drops ('compacted', recovered flag).
         - nothing pending → None.
         Returns the action taken ('aborted' | 'completed') or None.
+
+        Committed-ness is decided by the commit token stamped into the
+        snapshot dir (intent rows predating the token carry a row-count
+        fallback check), never by the bare existence of snapshot=<id> —
+        see write()'s docstring for the id-reuse hazard this closes.
+
+        `grace_sec` > 0 skips the ABORT window for intents younger than
+        that many seconds: under the documented single-driver
+        assumption a concurrent READER (`_read_all` auto-recovers)
+        could otherwise see a legitimately in-flight compaction's
+        intent row and delete its live staging dir. The completion
+        window (token-verified snapshot in place) has no grace — the
+        drops are idempotent and racing the compactor's own drops is
+        harmless. Multi-writer coordination is out of scope (Iceberg's
+        transactional catalog owns it in production).
         """
         pending = None
         for r in self.manifest():
@@ -271,9 +315,33 @@ class ParquetCatalog:
             "wall_sec": 0.0,
             "updated_at": now,
         }
-        if not os.path.isdir(final):
-            # crash before the rename: the union snapshot never
-            # committed — drop the orphan staging dir, inputs stand
+        committed = False
+        if os.path.isdir(final):
+            token = pending.get("token")
+            if token is not None:
+                tok_path = os.path.join(final, ".compaction_token")
+                try:
+                    with open(tok_path, encoding="utf-8") as f:
+                        committed = f.read().strip() == token
+                except OSError:
+                    committed = False
+            else:
+                # pre-token intent row: fall back to comparing the
+                # committed footer row count to the intent's rows_out
+                committed = _parquet_rows(final) == pending["rows_out"]
+        if not committed:
+            # crash before the rename (or an unrelated snapshot reused
+            # the id): the union snapshot never committed — drop the
+            # orphan staging dir; inputs AND any id-reusing snapshot
+            # stand untouched
+            if grace_sec > 0:
+                import calendar
+
+                t = calendar.timegm(
+                    time.strptime(pending["updated_at"], "%Y-%m-%dT%H:%M:%SZ")
+                )
+                if time.time() - t < grace_sec:
+                    return None  # possibly still in flight — leave it
             shutil.rmtree(staging, ignore_errors=True)
             self._append_manifest(
                 {**base, "status": "compaction_aborted", "rows_out": 0}

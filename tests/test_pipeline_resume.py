@@ -194,3 +194,134 @@ def test_compaction_crash_after_rename_completes_drops(spark, tmp_path):
     statuses = [m["status"] for m in cat.manifest() if m["stage"] == "t"]
     assert statuses[-1] == "compacted"
     assert [m for m in cat.manifest() if m.get("recovered")]
+
+
+def test_write_after_crashed_compaction_does_not_lose_corpus(spark, tmp_path):
+    """Snapshot-id reuse hazard (round-4 ADVICE, high): compact()
+    allocates latest+1, so a crash BEFORE its rename leaves the
+    snapshot list unchanged and the next incremental write() would
+    allocate the exact id the dead compaction intended. write() must
+    recover the stale intent first so a later recover() can never
+    mistake the delta snapshot for the committed compaction and drop
+    the whole prior corpus."""
+    import os
+
+    cat = _compaction_state(spark, tmp_path, "c3")
+    snaps = cat.snapshots("t")
+    snap = snaps[-1] + 1
+    staging = os.path.join(cat._table_dir("t"), f".staging-{snap}")
+    KGPipeline._read_all(cat, "t").write.parquet(staging)
+    cat._append_manifest(
+        {
+            "run_id": "crashed",
+            "stage": "t",
+            "status": "compacting",
+            "rows_in": len(snaps),
+            "rows_out": 13,
+            "snapshot_id": snap,
+            "folded": snaps,
+            "wall_sec": 0.0,
+            "updated_at": "2026-01-01T00:00:00Z",
+        }
+    )
+    # the resumed pipeline appends a delta — its write() retires the
+    # stale intent BEFORE reusing the snapshot id
+    cat.write(spark.range(13, 15).toDF("id"), "t", stage="t")
+    assert cat.snapshots("t") == snaps + [snap]  # delta got the reused id
+    # every later recover is a no-op: nothing pending, nothing dropped
+    assert cat.recover("t") is None
+    got = sorted(r.id for r in KGPipeline._read_all(cat, "t").collect())
+    assert got == list(range(15))
+    statuses = [m["status"] for m in cat.manifest() if m["stage"] == "t"]
+    assert "compaction_aborted" in statuses
+
+
+def test_recover_token_rejects_id_reusing_snapshot(spark, tmp_path):
+    """Defense in depth: even if a snapshot dir with the intended id
+    appears WITHOUT write()'s up-front recovery (e.g. an external
+    writer), recover() must not treat it as the committed compaction —
+    the commit token is absent — and must leave both the prior inputs
+    and the unrelated snapshot untouched."""
+    import os
+
+    cat = _compaction_state(spark, tmp_path, "c4")
+    snaps = cat.snapshots("t")
+    snap = snaps[-1] + 1
+    staging = os.path.join(cat._table_dir("t"), f".staging-{snap}")
+    KGPipeline._read_all(cat, "t").write.parquet(staging)
+    cat._append_manifest(
+        {
+            "run_id": "crashed",
+            "stage": "t",
+            "status": "compacting",
+            "rows_in": len(snaps),
+            "rows_out": 13,
+            "snapshot_id": snap,
+            "folded": snaps,
+            "token": "deadbeef" * 4,
+            "wall_sec": 0.0,
+            "updated_at": "2026-01-01T00:00:00Z",
+        }
+    )
+    # an unrelated delta lands on the intended id, no token file inside
+    final = os.path.join(cat._table_dir("t"), f"snapshot={snap}")
+    spark.range(13, 15).toDF("id").write.parquet(final)
+    assert cat.recover("t") == "aborted"
+    assert cat.snapshots("t") == snaps + [snap]  # nothing destroyed
+    assert not os.path.exists(staging)  # only the orphan staging went
+    got = sorted(r.id for r in KGPipeline._read_all(cat, "t").collect())
+    assert got == list(range(15))
+
+
+def test_recover_grace_window_spares_in_flight_compaction(spark, tmp_path):
+    """A reader auto-recovering mid-read must not abort a compaction
+    whose intent row is fresh (possibly still in flight in the single
+    driver): grace_sec skips young intents in the abort window only."""
+    import os
+    import time as _time
+
+    cat = _compaction_state(spark, tmp_path, "c5")
+    snaps = cat.snapshots("t")
+    snap = snaps[-1] + 1
+    staging = os.path.join(cat._table_dir("t"), f".staging-{snap}")
+    KGPipeline._read_all(cat, "t").write.parquet(staging)
+    cat._append_manifest(
+        {
+            "run_id": "local",
+            "stage": "t",
+            "status": "compacting",
+            "rows_in": len(snaps),
+            "rows_out": 13,
+            "snapshot_id": snap,
+            "folded": snaps,
+            "token": "cafef00d" * 4,
+            "wall_sec": 0.0,
+            "updated_at": _time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+            ),
+        }
+    )
+    # fresh intent + grace → left alone, staging survives, read correct
+    assert cat.recover("t", grace_sec=300.0) is None
+    assert os.path.exists(staging)
+    got = sorted(r.id for r in KGPipeline._read_all(cat, "t").collect())
+    assert got == list(range(13))
+    # explicit recovery (restart path, grace 0) still aborts it
+    assert cat.recover("t") == "aborted"
+    assert not os.path.exists(staging)
+
+
+def test_compaction_token_round_trip(spark, tmp_path):
+    """A real compact() stamps the token into the committed snapshot
+    and records it in the intent row; recover() is then a no-op and
+    the token file is invisible to parquet readers."""
+    import os
+
+    cat = _compaction_state(spark, tmp_path, "c6")
+    info = cat.compact("t")
+    final = os.path.join(cat._table_dir("t"), f"snapshot={info.snapshot_id}")
+    intent = [m for m in cat.manifest() if m["status"] == "compacting"][-1]
+    with open(os.path.join(final, ".compaction_token"), encoding="utf-8") as f:
+        assert f.read().strip() == intent["token"]
+    assert cat.recover("t") is None
+    assert cat.read("t").count() == 13  # dot-file ignored by the reader
