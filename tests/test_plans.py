@@ -133,11 +133,16 @@ def test_whole_stage_codegen_covers_scalar_pipeline(spark):
 
 def test_lsh_capped_counts_before_collect(spark):
     """The bucket cap must bound the collect_list AGGREGATION BUFFER,
-    not just downstream pair expansion: physically, a count(1)
-    aggregate + key join filters over-cap (band_id, band_key)s below
-    the collect_list aggregate, so a 10^6-doc boilerplate bucket never
-    materializes a 10^6-element array row. The count agg shares the
-    band shuffle with the collect (exchange reuse)."""
+    not just downstream pair expansion: physically, a window count over
+    the (band_id, band_key) shuffle + a filter sit below the
+    collect_list aggregate, so a 10^6-doc boilerplate bucket never
+    materializes a 10^6-element array row (WindowExec buffers its
+    group spillably, and the filter drops the hot bucket's rows before
+    the agg). The whole thing rides ONE band-key exchange: the window
+    establishes the partitioning and the groupBy reuses it — the
+    expensive minhash-signature map is computed exactly once."""
+    import re
+
     docs = _docs(spark)
     df = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.1, max_bucket_size=50)
     plan = _plan(df, execute=True)
@@ -145,11 +150,16 @@ def test_lsh_capped_counts_before_collect(spark):
     collect_at = next(
         i for i, l in enumerate(lines) if "collect_list" in l
     )
-    count_below = any(
-        "count(1)" in l and "band" in l for l in lines[collect_at:]
+    window_below = any(
+        "Window" in l and "count(1)" in l for l in lines[collect_at:]
     )
-    assert count_below, "bucket count agg must be a child of the collect_list agg"
-    assert "ReusedExchange" in plan
+    assert window_below, "window bucket count must be a child of the collect_list agg"
+    # AQE's string form repeats the plan ("== Final Plan ==" then
+    # "== Initial Plan =="); count exchanges in the final section only
+    final_section = plan.split("== Initial Plan ==")[0]
+    assert len(
+        re.findall(r"Exchange hashpartitioning\(band_id", final_section)
+    ) == 1, "bands must shuffle exactly once on (band_id, band_key)"
     assert "CartesianProduct" not in plan
 
 
