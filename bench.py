@@ -166,6 +166,8 @@ def main() -> None:
         "corpus_stratified_split",
         "text_top_ngrams",
         "text_gopher_rules",
+        # round-4 additions
+        "events_funnel_deep",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
     for name in bench_queries:

@@ -2385,6 +2385,53 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_funnel_deep",
+    """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+),
+s5 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s4 USING (user_id)
+  WHERE e.event_type = 'error' AND e.ts > s4.t GROUP BY e.user_id
+)
+SELECT 1 AS stage_idx, 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'click', CAST(count(*) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'purchase', CAST(count(*) AS BIGINT) FROM s4
+UNION ALL SELECT 5, 'error', CAST(count(*) AS BIGINT) FROM s5
+""",
+)
+def events_funnel_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-stage funnel via the SINGLE-PASS form (round-4 VERDICT item):
+    one event-table scan + one user-key shuffle regardless of depth —
+    per-user sorted stage-ts arrays with the monotonic carry folded as
+    array expressions. Oracle is the staged CTE chain, so the carry
+    fold is hash-verified against the join form's semantics."""
+    return events.funnel_stages(
+        _events(spark, sf_dir),
+        ("signup", "view", "click", "purchase", "error"),
+        single_pass=True,
+    )
+
+
 # -- 27. quality-weighted sampling / domain mixing / sequence packing ------------
 
 from .operators import packing  # noqa: E402

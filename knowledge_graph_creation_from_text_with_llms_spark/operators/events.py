@@ -105,7 +105,9 @@ def user_gap_stats(events: DataFrame) -> DataFrame:
 
 
 def funnel_stages(
-    events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    single_pass: bool = False,
 ) -> DataFrame:
     """Ordered-funnel conversion: one row per stage with the number of
     users who completed the funnel UP TO that stage in event-time
@@ -113,14 +115,66 @@ def funnel_stages(
     after their earliest qualifying stage-(k-1) event (earliest-match
     semantics, the standard product-analytics funnel).
 
-    Plan: per stage, one filtered min-aggregation over (user, stage
-    events after the previous stage's qualifying time) — k-1 key-
-    partitioned joins on user_id for a k-stage funnel, no window over
-    the full event table, no per-user event collection (a hot user
-    with 10⁸ events costs its aggregation groups, never a wide row).
-    Ties: an equal timestamp does NOT advance the funnel (strictly
-    after), deterministic under event-time duplicates.
+    Default plan: per stage, one filtered min-aggregation over (user,
+    stage events after the previous stage's qualifying time) — k-1
+    key-partitioned joins on user_id for a k-stage funnel, no window
+    over the full event table, no per-user event collection (a hot
+    user with 10⁸ events costs its aggregation groups, never a wide
+    row).
+
+    `single_pass=True`: ONE scan of the event table and ONE user-key
+    shuffle regardless of funnel depth — each user's funnel-stage
+    timestamps are collected into k sorted arrays and the monotonic
+    carry (t_k = first stage-k ts strictly after t_{k-1}) is folded as
+    array expressions inside whole-stage codegen; a final 1-row
+    aggregate counts survivors per stage. The trade: per-user row
+    width is that user's funnel-event count, so prefer it for DEEP
+    funnels (k scans dominate) on event streams without pathological
+    hot users; keep the default for shallow funnels over skewed
+    traffic. Both forms are result-identical (equivalence-tested) and
+    share strictly-after tie semantics.
     """
+    if single_pass:
+        k = len(stages)
+        mapping = F.create_map(
+            *[x for i, s in enumerate(stages) for x in (F.lit(s), F.lit(i))]
+        )
+        ev = events.where(F.col("event_type").isin(list(stages))).select(
+            "user_id", mapping[F.col("event_type")].alias("_k"), "ts"
+        )
+        per_user = ev.groupBy("user_id").agg(
+            *[
+                F.array_sort(
+                    F.collect_list(F.when(F.col("_k") == i, F.col("ts")))
+                ).alias(f"_a{i}")
+                for i in range(k)
+            ]
+        )
+        t_prev = F.get(F.col("_a0"), 0)
+        ts_cols = [t_prev.alias("_t0")]
+        for i in range(1, k):
+            # first stage-i ts strictly after the carried threshold;
+            # a null threshold nulls the comparison → empty filter →
+            # null carry, so a broken funnel stays broken
+            t_prev = F.get(
+                F.filter(F.col(f"_a{i}"), lambda x: x > t_prev), 0
+            )
+            ts_cols.append(t_prev.alias(f"_t{i}"))
+        reached_ts = per_user.select(*ts_cols)
+        agg = reached_ts.agg(
+            *[F.count(F.col(f"_t{i}")).cast("long").alias(f"_n{i}") for i in range(k)]
+        )
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).alias("stage_idx"),
+                    F.lit(s).alias("stage"),
+                    F.col(f"_n{i}").alias("n_users"),
+                )
+                for i, s in enumerate(stages)
+            ]
+        )
+        return agg.select(F.explode(rows).alias("_r")).select("_r.*")
     reached = (
         events.where(F.col("event_type") == stages[0])
         .groupBy("user_id")
@@ -173,7 +227,20 @@ def asof_join(
     (duplicate right rows at one timestamp would make the carried
     value order-dependent). `how='left'` keeps unmatched left rows
     with nulls; 'inner' drops them.
+
+    NULL-correctness (round-4 ADVICE): the right row's value columns
+    are carried as ONE struct with a single last(ignorenulls=True) —
+    the struct is null only for left-side union rows, so a NULL in the
+    most recent right row is carried AS the match's NULL (row-level
+    as-of semantics, matching DuckDB's native ASOF JOIN) instead of
+    being skipped for a stale older value; columns from different
+    right rows can never mix into one output row; and 'inner'
+    match-ness is the struct's presence, independent of whether the
+    matched row's values happen to be NULL or the right side has any
+    value columns at all.
     """
+    from pyspark.sql import types as T
+
     rcols = [
         c for c in right.columns if c not in key_cols and c != ts_col
     ]
@@ -184,15 +251,23 @@ def asof_join(
             f"asof_join: right value columns {clash} collide with left "
             "columns — rename before joining"
         )
-    l = left.withColumn("_side", F.lit(1))
-    for c in rcols:
-        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r = right.withColumn("_side", F.lit(0))
+    # _matched leads the struct so zero-value-column rights still mark
+    rv_type = T.StructType(
+        [T.StructField("_matched", T.BooleanType(), False)]
+        + [T.StructField(c, right.schema[c].dataType) for c in rcols]
+    )
+    l = left.withColumn("_side", F.lit(1)).withColumn(
+        "_rv", F.lit(None).cast(rv_type)
+    )
+    r = right.withColumn("_side", F.lit(0)).withColumn(
+        "_rv",
+        F.struct(F.lit(True).alias("_matched"), *[F.col(c) for c in rcols]),
+    )
     for c in lcols:
         if c not in key_cols and c != ts_col:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    u = l.select(*lcols, *rcols, "_side").unionByName(
-        r.select(*lcols, *rcols, "_side")
+    u = l.select(*lcols, "_rv", "_side").unionByName(
+        r.select(*lcols, "_rv", "_side")
     )
     w = (
         Window.partitionBy(*key_cols)
@@ -202,20 +277,14 @@ def asof_join(
     carried = u.select(
         *lcols,
         "_side",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-            for c in rcols
-        ],
+        F.last(F.col("_rv"), ignorenulls=True).over(w).alias("_rv"),
     )
-    out = carried.where(F.col("_side") == 1).drop("_side")
+    out = carried.where(F.col("_side") == 1)
     if how == "inner":
-        cond = None
-        for c in rcols:
-            cnd = F.col(c).isNotNull()
-            cond = cnd if cond is None else (cond | cnd)
-        if cond is not None:
-            out = out.where(cond)
-    return out
+        out = out.where(F.col("_rv").isNotNull())
+    return out.select(
+        *lcols, *[F.col("_rv").getField(c).alias(c) for c in rcols]
+    )
 
 
 def retention_cohorts(events: DataFrame) -> DataFrame:

@@ -354,6 +354,12 @@ def pagerank(
     BSP-as-DataFrame plan; no driver-side data, no floats until the
     final cosmetic division.
     """
+    if scale != "auto" and not isinstance(scale, int):
+        # without this, a stray string flows into (100-d)*scale as
+        # Python string repetition and dies in SQL analysis later
+        raise ValueError(
+            f"pagerank: scale must be an int or the literal 'auto', got {scale!r}"
+        )
     e = (
         edges.where(F.col(src_col) != F.col(dst_col))
         .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
