@@ -170,6 +170,23 @@ def main() -> None:
         "events_funnel_deep",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
+
+    # Build/probe split for the incremental dedup gates (round-4
+    # VERDICT item): the prior index is built once per corpus in
+    # production and appended to per delta, so the operating cost is
+    # the probe. Time the three index builds as their own entry
+    # (cache cleared per trial); the incremental gate timings below
+    # then hit the warm cache and measure probe-only — previously the
+    # fused number overstated the operating cost ~6×.
+    build_secs = []
+    for _ in range(trials):
+        gate.clear_incremental_index_cache()
+        t0 = time.time()
+        gate.warm_incremental_indexes(spark, sf_dir)
+        build_secs.append(time.time() - t0)
+    timings["dedup_incremental_index_build"] = round(_median(build_secs), 3)
+    spreads["dedup_incremental_index_build"] = [round(s, 3) for s in build_secs]
+
     for name in bench_queries:
         fn = gate.QUERIES[name]
         secs = []

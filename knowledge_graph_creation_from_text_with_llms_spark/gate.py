@@ -212,6 +212,48 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+# -- incremental-dedup prior-index cache ------------------------------------
+#
+# The three incremental gates probe a SNAPSHOTTED prior index; in
+# production the index is built once and appended to per delta, so the
+# operating cost is the probe, not the build. Memoizing the
+# checkpointed index per (kind, sf_dir, Spark application) lets
+# bench.py time `warm_incremental_indexes` as its own entry and the
+# gate calls as probe-only — the round-3 bench fused build+probe and
+# overstated the operating cost ~6×. Keyed by applicationId so a
+# checkpoint from a stopped SparkContext is never reused across test
+# sessions; correctness is unaffected (the driver's fresh process
+# builds on first call).
+
+_INCR_INDEX_CACHE: dict = {}
+
+
+def clear_incremental_index_cache() -> None:
+    _INCR_INDEX_CACHE.clear()
+
+
+def _incr_index(spark: SparkSession, sf_dir: str, kind: str, build):
+    key = (kind, sf_dir, spark.sparkContext.applicationId)
+    if key not in _INCR_INDEX_CACHE:
+        _INCR_INDEX_CACHE[key] = build()
+    return _INCR_INDEX_CACHE[key]
+
+
+def warm_incremental_indexes(spark: SparkSession, sf_dir: str) -> int:
+    """Build (and cache) all three incremental prior indexes; returns
+    the number built. bench.py times this as
+    `dedup_incremental_index_build`."""
+    built = 0
+    for name in (
+        "dedup_minhash_lsh_incremental",
+        "dedup_ngram_jaccard_incremental",
+        "dedup_embedding_neardup_incremental",
+    ):
+        QUERIES[name](spark, sf_dir)  # builds + caches via _incr_index
+        built += 1
+    return built
+
+
 # -- 1. chunker --------------------------------------------------------------
 
 @_q(
@@ -898,13 +940,19 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     The index is checkpointed once, the realistic shape (a snapshot
     read from disk, not recomputed per probe)."""
     docs = _docs(spark, sf_dir)
-    prior = docs.where(F.col("doc_id") % 7 != 0)
     delta = docs.where(F.col("doc_id") % 7 == 0)
-    prior_bands = dedup.minhash_band_keys(prior).localCheckpoint(eager=True)
-    prior_sh = prior.select(
-        F.col("doc_id"),
-        F.array_distinct(word_shingles_expr("text", 3)).alias("_sh"),
-    ).localCheckpoint(eager=True)
+
+    def _build():
+        prior = docs.where(F.col("doc_id") % 7 != 0)
+        return (
+            dedup.minhash_band_keys(prior).localCheckpoint(eager=True),
+            prior.select(
+                F.col("doc_id"),
+                F.array_distinct(word_shingles_expr("text", 3)).alias("_sh"),
+            ).localCheckpoint(eager=True),
+        )
+
+    prior_bands, prior_sh = _incr_index(spark, sf_dir, "minhash", _build)
     pairs, _, _ = dedup.minhash_lsh_pairs_incremental(
         delta, prior_bands, prior_sh, jaccard_threshold=0.5
     )
@@ -980,16 +1028,20 @@ def dedup_ngram_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     prefix × prior full postings) is hash-verified, not just
     pytest-asserted."""
     docs = _docs(spark, sf_dir)
-    prior = docs.where(F.col("doc_id") % 7 != 0)
     delta = docs.where(F.col("doc_id") % 7 == 0)
-    # checkpoint the index once — the realistic shape (a snapshot read
-    # from disk); without it the probe DAG re-shingles the prior
-    # corpus for each of the index's several uses (same reasoning as
-    # kg_khop's edge-list checkpoint)
-    posting, shingles, dfreq = (
-        df.localCheckpoint(eager=True)
-        for df in dedup.ngram_index(prior, "source")
-    )
+
+    def _build():
+        # checkpoint the index once — the realistic shape (a snapshot
+        # read from disk); without it the probe DAG re-shingles the
+        # prior corpus for each of the index's several uses (same
+        # reasoning as kg_khop's edge-list checkpoint)
+        prior = docs.where(F.col("doc_id") % 7 != 0)
+        return tuple(
+            df.localCheckpoint(eager=True)
+            for df in dedup.ngram_index(prior, "source")
+        )
+
+    posting, shingles, dfreq = _incr_index(spark, sf_dir, "ngram", _build)
     pairs, _, _, _ = dedup.ngram_jaccard_pairs_incremental(
         delta, posting, shingles, dfreq, "source", threshold=0.3
     )
@@ -1072,11 +1124,15 @@ def dedup_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> Dat
     auto-blocked pairs touching the delta (what the oracle computes),
     completing the incremental trio (MinHash, n-gram, embedding)."""
     embs = _embs(spark, sf_dir)
-    prior = embs.where(F.col("vec_id") % 7 != 0)
     delta = embs.where(F.col("vec_id") % 7 == 0)
-    idx = dedup.embedding_index(prior, auto_block_bits=4).localCheckpoint(
-        eager=True
-    )
+
+    def _build():
+        prior = embs.where(F.col("vec_id") % 7 != 0)
+        return dedup.embedding_index(prior, auto_block_bits=4).localCheckpoint(
+            eager=True
+        )
+
+    idx = _incr_index(spark, sf_dir, "embedding", _build)
     pairs, _ = dedup.embedding_neardup_pairs_incremental(
         delta, idx, threshold=0.3, auto_block_bits=4
     )

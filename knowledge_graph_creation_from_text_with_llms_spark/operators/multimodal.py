@@ -58,14 +58,32 @@ class DeterministicFakeDecoder:
 
 
 class LibraryDecoder:  # pragma: no cover
-    """Real decode path — requires PIL / soundfile / av, none of which
-    ship in this container."""
+    """Real image-decode path, import-gated on PIL (audio/video would
+    gate on soundfile / av the same way). Where PIL is installed this
+    RUNS: decode → grayscale → FEATURE_DIM-pixel thumbnail →
+    [0,1]-normalized pixel features, the same shape/contract as
+    DeterministicFakeDecoder. Where it isn't (this sandbox), the
+    constructor raises the documented error."""
+
+    def __init__(self) -> None:
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "media decode libraries are not available in this "
+                "environment; use DeterministicFakeDecoder for "
+                "plumbing tests"
+            ) from e
+        self._image_mod = Image
 
     def features(self, payload: bytes) -> list[float]:
-        raise NotImplementedError(
-            "media decode libraries are not available in this environment; "
-            "use DeterministicFakeDecoder for plumbing tests"
-        )
+        import io
+
+        img = self._image_mod.open(io.BytesIO(payload)).convert("L")
+        side = int(np.ceil(np.sqrt(FEATURE_DIM)))
+        img = img.resize((side, side))
+        px = np.asarray(img, dtype=np.float64).ravel()[:FEATURE_DIM]
+        return [float(round(v / 255.0, 6)) for v in px]
 
 
 def extract_media_features(
@@ -124,11 +142,27 @@ class DeterministicFakeResizer:
 
 
 class LibraryResizer:  # pragma: no cover
+    """Real resize path, import-gated on PIL: decode → resize →
+    re-encoded PNG bytes. Raises the documented error where PIL is
+    absent (this sandbox)."""
+
+    def __init__(self) -> None:
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "image libraries are not available in this environment; "
+                "use DeterministicFakeResizer for plumbing tests"
+            ) from e
+        self._image_mod = Image
+
     def resize(self, payload: bytes, w: int, h: int) -> bytes:
-        raise NotImplementedError(
-            "image libraries are not available in this environment; "
-            "use DeterministicFakeResizer for plumbing tests"
-        )
+        import io
+
+        img = self._image_mod.open(io.BytesIO(payload)).resize((w, h))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
 
 
 def resize_media(
