@@ -123,11 +123,11 @@ def funnel_stages(
     row).
 
     `single_pass=True`: ONE scan of the event table and ONE user-key
-    shuffle regardless of funnel depth — each user's funnel-stage
-    timestamps are collected into k sorted arrays and the monotonic
-    carry (t_k = first stage-k ts strictly after t_{k-1}) is folded as
-    array expressions inside whole-stage codegen; a final 1-row
-    aggregate counts survivors per stage. The trade: per-user row
+    shuffle regardless of funnel depth — each user's funnel events are
+    collected into one ts-sorted array and the monotonic carry (t_k =
+    first stage-k ts strictly after t_{k-1}) is a linear aggregate
+    fold over it; a final 1-row aggregate counts survivors per
+    stage. The trade: per-user row
     width is that user's funnel-event count, so prefer it for DEEP
     funnels (k scans dominate) on event streams without pathological
     hot users; keep the default for shallow funnels over skewed
@@ -142,27 +142,43 @@ def funnel_stages(
         ev = events.where(F.col("event_type").isin(list(stages))).select(
             "user_id", mapping[F.col("event_type")].alias("_k"), "ts"
         )
+        # ONE sorted (ts, stage) array per user, then a LINEAR
+        # aggregate fold: acc[i] = earliest stage-i ts strictly after
+        # acc[i-1]. The sort puts equal-ts events in stage order, and
+        # the strict > keeps a tie from advancing the funnel either
+        # way. (A per-stage-array + nested-filter fold was tried
+        # first: its carry expression nests O(k²) and the codegen blew
+        # up to ~6× this form's wall time at sf0.1.)
         per_user = ev.groupBy("user_id").agg(
+            F.array_sort(F.collect_list(F.struct("ts", "_k"))).alias("_evs")
+        )
+        ts_type = ev.schema["ts"].dataType
+        acc0 = F.array_repeat(F.lit(None).cast(ts_type), k)
+
+        def _step(acc, e):
+            return F.transform(
+                acc,
+                lambda v, i: F.coalesce(
+                    v,
+                    F.when(
+                        (i == e.getField("_k"))
+                        & (
+                            (i == 0)
+                            | (e.getField("ts") > F.get(acc, i - 1))
+                        ),
+                        e.getField("ts"),
+                    ),
+                ),
+            )
+
+        reached_ts = per_user.select(
+            F.aggregate(F.col("_evs"), acc0, _step).alias("_t")
+        )
+        agg = reached_ts.agg(
             *[
-                F.array_sort(
-                    F.collect_list(F.when(F.col("_k") == i, F.col("ts")))
-                ).alias(f"_a{i}")
+                F.count(F.get(F.col("_t"), i)).cast("long").alias(f"_n{i}")
                 for i in range(k)
             ]
-        )
-        t_prev = F.get(F.col("_a0"), 0)
-        ts_cols = [t_prev.alias("_t0")]
-        for i in range(1, k):
-            # first stage-i ts strictly after the carried threshold;
-            # a null threshold nulls the comparison → empty filter →
-            # null carry, so a broken funnel stays broken
-            t_prev = F.get(
-                F.filter(F.col(f"_a{i}"), lambda x: x > t_prev), 0
-            )
-            ts_cols.append(t_prev.alias(f"_t{i}"))
-        reached_ts = per_user.select(*ts_cols)
-        agg = reached_ts.agg(
-            *[F.count(F.col(f"_t{i}")).cast("long").alias(f"_n{i}") for i in range(k)]
         )
         rows = F.array(
             *[
