@@ -168,6 +168,7 @@ def main() -> None:
         "text_gopher_rules",
         # round-4 additions
         "events_funnel_deep",
+        "events_asof_join_inner",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
 

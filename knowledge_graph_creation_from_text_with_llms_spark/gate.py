@@ -2731,6 +2731,56 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_asof_join_inner",
+    """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts,
+         max(CASE WHEN value >= 1.0
+                  THEN CAST(round(value * 100) AS BIGINT) END) AS purchase_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS click_us, r.purchase_cents
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def events_asof_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner as-of with NULLABLE right values (round-4 ADVICE fix made
+    this expressible): small purchases carry a NULL cents value, so a
+    click whose MOST RECENT purchase is small must surface that
+    match's NULL — the pre-fix per-column carry would have grabbed a
+    stale older non-NULL value, and this oracle (DuckDB native ASOF
+    inner join) would hash-reject it."""
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("value") >= 1.0,
+                    F.round(F.col("value") * 100).cast("long"),
+                )
+            ).alias("purchase_cents")
+        )
+    )
+    out = events.asof_join(left, right, ["user_id"], "ts", how="inner")
+    from .operators.events import _epoch_us
+
+    return out.select(
+        "event_id",
+        "user_id",
+        _epoch_us("ts").alias("click_us"),
+        "purchase_cents",
+    )
+
+
+@_q(
     "events_retention",
     """
 WITH ed AS (

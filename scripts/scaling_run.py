@@ -199,12 +199,14 @@ Per-pair efficiencies (sorted): {r.get('pair_efficiencies')}.
 Raw wall-clock spread across trials:
 N = {lo.get('all_walls')}, 4N = {hi.get('all_walls')}.
 
-Window gating (round-4): the campaign only starts once a fresh
-codegen substrate probe clears {r.get('window_gate', {}).get('min_ceiling')} (this window's
-probe ceiling at start: {r.get('window_gate', {}).get('codegen_ceiling_at_start')}; windows
-skipped waiting: {len(r.get('window_gate', {}).get('windows_skipped', []))} — see
-BENCH/skipped_windows.jsonl). A ceiling below the target means the
-host cannot demonstrate ≥0.8 for ANY job in that window.
+Window gating (round-4): a fresh codegen substrate probe must clear
+{r.get('window_gate', {}).get('min_ceiling')} before the campaign starts; this campaign
+{"CLEARED the gate" if r.get('window_gate', {}).get('cleared') else "ran FORCED after exhausting its probe budget (no clear window appeared)"} —
+probe ceiling at start {r.get('window_gate', {}).get('codegen_ceiling_at_start')}, windows skipped
+waiting: {len(r.get('window_gate', {}).get('windows_skipped', []))} (see BENCH/skipped_windows.jsonl).
+A ceiling below the target means the host cannot demonstrate ≥0.8
+for ANY job in that window; judge the efficiency against the
+same-window ceiling, not in isolation.
 
 Per-stage wall (s), median runs:
 
