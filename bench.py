@@ -169,6 +169,7 @@ def main() -> None:
         # round-4 additions
         "events_funnel_deep",
         "events_asof_join_inner",
+        "kg_viz_edges",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
 

@@ -21,6 +21,7 @@ from .functions.hashing import md5_qid
 from .functions.text import bigrams_expr, tokens_expr, word_shingles_expr
 from .operators import canonicalizer, contamination, dedup, events, graph
 from .operators import linker, metrics, parser, sampling, similarity, textstats
+from .operators import viz
 from .operators.chunker import chunk_array_udf
 
 CHUNK_SIZE = 120  # word-unit chunking of the ~300-char synthetic docs
@@ -471,6 +472,39 @@ def kg_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _edges(_docs(spark, sf_dir))
+
+
+@_q(
+    "kg_viz_edges",
+    f"""
+WITH {SQL_EDGES.lstrip()},
+uri AS (
+  SELECT src_id, pred_id, dst_id, weight FROM edges WHERE NOT is_literal
+),
+deg AS (
+  SELECT node_id, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT src_id AS node_id FROM uri
+        UNION ALL SELECT dst_id FROM uri)
+  GROUP BY node_id
+)
+SELECT u.src_id, u.pred_id, u.dst_id, u.weight,
+       CAST(ds.deg + dd.deg AS BIGINT) AS deg_sum
+FROM uri u
+JOIN deg ds ON ds.node_id = u.src_id
+JOIN deg dd ON dd.node_id = u.dst_id
+ORDER BY deg_sum DESC, u.src_id, u.pred_id, u.dst_id
+LIMIT 200
+""",
+)
+def kg_viz_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visualization sink's draw selection (SURVEY §2.1 S12): URI→URI
+    edges only, densest-neighborhood ranking, deterministic total
+    order, bounded top-k — the DataFrame plan behind
+    `viz.write_visualization` (the DOT/HTML writing itself is
+    driver-side on these ≤max_edges rows). Hash-verifying the
+    selection pins both the literal-exclusion parity with
+    GraphManager.prepare_visualization and the cap's determinism."""
+    return viz.viz_edges(_edges(_docs(spark, sf_dir)), max_edges=200)
 
 
 # -- 8. adjacency ---------------------------------------------------------------
