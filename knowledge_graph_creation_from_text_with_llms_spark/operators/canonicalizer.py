@@ -46,6 +46,7 @@ def salted_mention_counts(
     salt_col_source: str = "doc_id",
     num_salts: int = 16,
     hash_doc_keys: bool = False,
+    materialize: str | None = None,
 ) -> DataFrame:
     """mentions(label, doc_id, …) → (canonical_key, node_id,
     n_mentions, n_docs, aliases) via salted two-phase reduce.
@@ -68,31 +69,62 @@ def salted_mention_counts(
         F.col(label_col).alias("_surface"),
         doc_key.alias("_doc"),
     ).where(F.col("canonical_key") != "")
-    # ONE full-mention-size shuffle for both downstream paths: phase 0
-    # groups by (key, surface, doc) — surface is ~determined by
-    # (key, doc), so the group count matches the old (key, doc)
-    # grouping, but the counts path AND the alias path now both derive
-    # from this reduced table instead of each re-shuffling the raw
-    # mention set (the alias distinct previously carried the full
-    # mention rows a second time — measured as the worst-scaling part
-    # of the nodes stage, since shuffle scales below codegen on every
-    # host). The doc component still spreads hub entities across all
-    # reducers. No arrays anywhere at mention scale (a collect_set per
-    # (key, doc) group dominated the stage at benchmark scale).
-    # materialized once (localCheckpoint): Catalyst cannot reuse the
-    # exchange across the two consumers (column pruning makes their
-    # subplans differ), so without it both paths would re-shuffle the
-    # raw mentions — the exact duplication this phase exists to remove
-    per_doc_surface = (
-        keyed.groupBy("canonical_key", "_surface", "_doc")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .localCheckpoint(eager=True)
-    )
-    # phase 0b: (key, doc) — reduced-size reshuffle; phase 1 merges
-    # per (key, salt); phase 2 merges the S partials.
-    per_doc = per_doc_surface.groupBy("canonical_key", "_doc").agg(
-        F.sum("_cnt").alias("_cnt")
-    )
+    # Round-4 restructure ("two_scan", default): the round-3 form
+    # funneled BOTH output paths through one materialized
+    # (key, surface, doc) aggregation — one full-width shuffle plus a
+    # localCheckpoint write+read of the same bytes. The round-4
+    # scaling campaigns showed that stage pinned at ~22 s at BOTH 2
+    # and 8 pinned cores: on a single box, shuffle and block-manager
+    # bandwidth are shared resources that do NOT scale with cores,
+    # while map-side scan/regex work DOES. So the two paths now scan
+    # the (cheap, codegen, core-scaling) mention map twice and each
+    # shuffles only what it needs:
+    #   - counts path: (key, doc) with map-side combine — no surface
+    #     strings in the exchange (~40% fewer bytes than phase 0);
+    #   - aliases path: distinct (key, surface) — map-side partial
+    #     dedup collapses to VOCABULARY size before the exchange, so
+    #     its shuffle is trivial at any corpus size.
+    # No materialization at all: nothing is written to the block
+    # manager, and the A/B (scaling_child stage walls, 800k docs)
+    # measures nodes 21.1 s (checkpoint) / 32.0 s (columnar persist) /
+    # see BENCH/BASELINE.md for the landed two-scan number at both
+    # parallelism levels. materialize="checkpoint" / "persist" keep
+    # the single-scan forms for comparison.
+    if materialize is None:
+        import os
+
+        # env-tunable default so A/B harnesses (scaling_child) can
+        # flip the plan without code edits
+        materialize = os.environ.get("KG_NODES_MATERIALIZE", "two_scan")
+    if materialize not in ("two_scan", "checkpoint", "persist"):
+        raise ValueError(
+            "materialize must be 'two_scan', 'persist' or 'checkpoint', "
+            f"got {materialize!r}"
+        )
+    if materialize == "two_scan":
+        per_doc = keyed.groupBy("canonical_key", "_doc").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        alias_src = keyed.select("canonical_key", "_surface").distinct()
+    else:
+        per_doc_surface = keyed.groupBy(
+            "canonical_key", "_surface", "_doc"
+        ).agg(F.count(F.lit(1)).alias("_cnt"))
+        if materialize == "persist":
+            from pyspark import StorageLevel
+
+            per_doc_surface = per_doc_surface.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        else:
+            per_doc_surface = per_doc_surface.localCheckpoint(eager=True)
+        per_doc = per_doc_surface.groupBy("canonical_key", "_doc").agg(
+            F.sum("_cnt").alias("_cnt")
+        )
+        alias_src = per_doc_surface.select(
+            "canonical_key", "_surface"
+        ).distinct()
+    # phase 1 merges per (key, salt); phase 2 merges the S partials.
     salted = per_doc.withColumn(
         "_salt", F.pmod(F.xxhash64("_doc"), F.lit(num_salts))
     )
@@ -104,13 +136,10 @@ def salted_mention_counts(
         F.sum("_cnt").alias("n_mentions"),
         F.sum("_docs").alias("n_docs"),
     )
-    # aliases path — distinct over the ALREADY-REDUCED phase-0 rows
-    # (vocabulary-sized), never the raw mentions; collects once per key
-    aliases = (
-        per_doc_surface.select("canonical_key", "_surface")
-        .distinct()
-        .groupBy("canonical_key")
-        .agg(F.array_sort(F.collect_set("_surface")).alias("aliases"))
+    # aliases — vocabulary-sized by the time it shuffles; collects
+    # once per key
+    aliases = alias_src.groupBy("canonical_key").agg(
+        F.array_sort(F.collect_set("_surface")).alias("aliases")
     )
     merged = counts.join(aliases, "canonical_key")
     return merged.select(

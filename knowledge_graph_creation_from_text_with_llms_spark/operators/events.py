@@ -267,6 +267,11 @@ def asof_join(
             f"asof_join: right value columns {clash} collide with left "
             "columns — rename before joining"
         )
+    if "_matched" in rcols:
+        raise ValueError(
+            "asof_join: right column name '_matched' is reserved for the "
+            "internal match marker — rename before joining"
+        )
     # _matched leads the struct so zero-value-column rights still mark
     rv_type = T.StructType(
         [T.StructField("_matched", T.BooleanType(), False)]

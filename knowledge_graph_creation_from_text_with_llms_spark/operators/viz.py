@@ -76,6 +76,10 @@ def to_dot(
     so a capped picture is never mistaken for the whole graph."""
     total = edges.where(~F.col("is_literal")).count()
     rows = viz_edges(edges, max_edges).collect()
+    return _dot_from_rows(rows, int(total), title)
+
+
+def _dot_from_rows(rows, total: int, title: str) -> tuple[str, dict]:
     lines = [
         "digraph kg {",
         f"  label={_q(title)};",
@@ -89,9 +93,9 @@ def to_dot(
         )
     lines.append("}")
     stats = {
-        "edges_total": int(total),
+        "edges_total": total,
         "edges_drawn": len(rows),
-        "edges_dropped": int(total) - len(rows),
+        "edges_dropped": total - len(rows),
         "nodes_drawn": len({r.src_id for r in rows} | {r.dst_id for r in rows}),
     }
     return "\n".join(lines) + "\n", stats
@@ -154,9 +158,11 @@ def write_visualization(
     """The sink: writes `graph.dot`, `graph.html` (self-contained),
     and `viz_manifest.json` (draw stats incl. the dropped-edge audit)
     into `out_dir`. Returns the stats. Deterministic: same edges table
-    → byte-identical artifacts."""
-    dot, stats = to_dot(edges, max_edges, title)
+    → byte-identical artifacts. The draw selection is collected ONCE
+    and shared by the DOT and HTML writers."""
+    total = edges.where(~F.col("is_literal")).count()
     rows = viz_edges(edges, max_edges).collect()
+    dot, stats = _dot_from_rows(rows, int(total), title)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "graph.dot"), "w", encoding="utf-8") as f:
         f.write(dot)

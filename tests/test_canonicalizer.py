@@ -46,6 +46,31 @@ def test_coreferent_forms_merge(spark):
     ]
 
 
+def test_materialize_modes_equivalent(spark):
+    """two_scan / checkpoint / persist are plan shapes, not semantics:
+    all three must produce identical rows (incl. sorted alias arrays)."""
+    m = _mentions(spark)
+    outs = {
+        mode: {
+            r.canonical_key: (r.node_id, r.n_mentions, r.n_docs, tuple(r.aliases))
+            for r in canonicalizer.salted_mention_counts(
+                m, num_salts=8, materialize=mode
+            ).collect()
+        }
+        for mode in ("two_scan", "checkpoint", "persist")
+    }
+    assert outs["two_scan"] == outs["checkpoint"] == outs["persist"]
+
+
+def test_materialize_mode_validated(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="materialize"):
+        canonicalizer.salted_mention_counts(
+            _mentions(spark), materialize="bogus"
+        ).collect()
+
+
 def test_surrogate_ids_stable(spark):
     a = canonicalizer.salted_mention_counts(_mentions(spark), num_salts=4).collect()
     b = canonicalizer.salted_mention_counts(_mentions(spark), num_salts=32).collect()
