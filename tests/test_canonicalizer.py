@@ -57,9 +57,14 @@ def test_materialize_modes_equivalent(spark):
                 m, num_salts=8, materialize=mode
             ).collect()
         }
-        for mode in ("two_scan", "checkpoint", "persist")
+        for mode in ("fold", "two_scan", "checkpoint", "persist")
     }
-    assert outs["two_scan"] == outs["checkpoint"] == outs["persist"]
+    assert (
+        outs["fold"]
+        == outs["two_scan"]
+        == outs["checkpoint"]
+        == outs["persist"]
+    )
 
 
 def test_materialize_mode_validated(spark):
