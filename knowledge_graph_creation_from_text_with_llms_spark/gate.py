@@ -22,7 +22,7 @@ from .functions.text import bigrams_expr, tokens_expr, word_shingles_expr
 from .operators import canonicalizer, contamination, dedup, events, graph
 from .operators import linker, metrics, parser, sampling, similarity, textstats
 from .operators import viz
-from .operators.chunker import chunk_array_udf
+from .operators.chunker import chunk_array_expr
 
 CHUNK_SIZE = 120  # word-unit chunking of the ~300-char synthetic docs
 DICT_MIN_DF = 20  # tokens present in >= this many docs enter the dict
@@ -285,7 +285,7 @@ def kg_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy fold chunker (reference Extractor.py:72-93 semantics) in
     word-unit mode over the synthetic docs."""
     docs = _docs(spark, sf_dir)
-    arr = chunk_array_udf(CHUNK_SIZE, "word")(F.col("text"))
+    arr = chunk_array_expr(F.col("text"), CHUNK_SIZE, "word")
     return docs.select(
         "doc_id", F.posexplode(arr).alias("pos", "text")
     ).select(

@@ -112,3 +112,133 @@ def test_chunk_matches_pure_python_fold(spark):
     )
     out = [r.text for r in chunk_documents(src, chunk_size=60).orderBy("chunk_id").collect()]
     assert out == greedy_pack(split_sentences(text), 60)
+
+
+# -- JVM-side expression chunker (round 4) -----------------------------------
+
+
+def _expr_vs_python(spark, texts, configs):
+    """Batched equivalence: chunk_array_expr output == the Python
+    split_sentences+greedy_pack fold, byte-for-byte."""
+    import re
+
+    from knowledge_graph_creation_from_text_with_llms_spark.operators.chunker import (
+        chunk_array_expr,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    for unit, size in configs:
+        got = {
+            r.i: r.arr
+            for r in df.select(
+                "i", chunk_array_expr(F.col("text"), size, unit).alias("arr")
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            units = (
+                re.findall(r"[a-z0-9]+", (t or "").lower())
+                if unit == "word"
+                else split_sentences(t or "")
+            )
+            assert got[i] == greedy_pack(units, size), (unit, size, t[:80])
+
+
+def test_expr_chunker_matches_python_adversarial(spark):
+    texts = [
+        "",
+        " ",
+        "   \t \n ",
+        "Dr. Smith arrived. He left.",
+        "The U.S. economy grew. It slowed.",
+        "J. K. Rowling wrote it. Yes.",
+        "Pi is 3.14 roughly. Next.",
+        "See e.g. the appendix. Done.",
+        "Costs rose, etc. More later.",
+        "Really?! Yes. Sure.",
+        "a.  b!   c?  ",
+        "x" * 600,
+        "Mr.\n\nSmith. Done.",
+        "End.",
+        "End. ",
+        "Hi.Low. Mixed!No space? here. tail",
+        "one. two.\t three.\n four.",
+        "A.B. co. said. Next one.",
+        "word " * 200,
+        "Sep. NBSP break. Next.",  # unicode whitespace after period
+        "ends with abbrev etc.",
+        ". leading dot. x",
+        "!? !!! ?. .",
+        "multi  spaces.  kept?  yes. ok",
+    ]
+    _expr_vs_python(
+        spark, texts, [("sentence", 500), ("sentence", 40), ("word", 30)]
+    )
+
+
+def test_expr_chunker_matches_python_reference_corpus(spark):
+    import glob
+    import os
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not available")
+    texts = []
+    for p in sorted(glob.glob("/root/reference/**/*.txt", recursive=True))[:300]:
+        t = open(p, encoding="utf-8", errors="replace").read()
+        if t.strip():
+            texts.append(t)
+    assert len(texts) >= 50
+    _expr_vs_python(spark, texts, [("sentence", 500), ("sentence", 80)])
+
+
+def test_expr_chunker_matches_python_random(spark):
+    """Deterministic fuzz: strings over a punctuation-heavy alphabet
+    (the break/guard decision space), batched through one collect."""
+    import random
+
+    rng = random.Random(41)
+    alphabet = list(
+        "ab cd. ! ? \t\n" "Dr Mr U.S e.g etc 3.14 A. xx.. " ".?! "
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 200)))
+        for _ in range(300)
+    ]
+    _expr_vs_python(
+        spark, texts, [("sentence", 50), ("sentence", 15), ("word", 12)]
+    )
+
+
+def test_chunk_documents_engines_equivalent(spark):
+    texts = [
+        "Artificial intelligence is a field. It has many subfields! "
+        "Is it useful? Yes. Dr. Smith thinks so, e.g. in the U.S. today.",
+        "Short.",
+        "",
+    ]
+    src = spark.createDataFrame(
+        [(f"d{i}", "r", "p", "c", "t", t, "h") for i, t in enumerate(texts)],
+        "doc_id string, repo string, path string, commit string, lang string,"
+        " content string, content_sha256 string",
+    )
+    a = sorted(
+        (r.doc_id, r.chunk_id, r.text)
+        for r in chunk_documents(src, chunk_size=60, engine="expr").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.chunk_id, r.text)
+        for r in chunk_documents(src, chunk_size=60, engine="pandas").collect()
+    )
+    assert a == b
+
+
+def test_chunk_documents_rejects_unknown_engine(spark):
+    src = spark.createDataFrame(
+        [("d", "r", "p", "c", "t", "x.", "h")],
+        "doc_id string, repo string, path string, commit string, lang string,"
+        " content string, content_sha256 string",
+    )
+    with pytest.raises(ValueError):
+        chunk_documents(src, engine="nope")

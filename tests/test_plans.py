@@ -281,3 +281,21 @@ def test_canonicalizer_two_scan_has_no_materialization(spark):
     assert "Scan ExistingRDD" not in fold
     assert "InMemoryTableScan" not in fold
     assert "SortMergeJoin" not in fold and "BroadcastHashJoin" not in fold
+
+
+def test_expr_chunker_stays_jvm_side(spark):
+    """Round-4 scaling fix: the default chunker must plan with NO
+    python-worker nodes (the pandas engine is the explicit opt-out) —
+    python stages scale at the host's worst substrate ceiling."""
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import chunker
+
+    src = spark.createDataFrame(
+        [("d", "Some text. More here! End?", "h")],
+        "doc_id string, content string, content_sha256 string",
+    )
+    expr_plan = _plan(chunker.chunk_documents(src, 60, engine="expr"))
+    assert "BatchEvalPython" not in expr_plan
+    assert "ArrowEvalPython" not in expr_plan
+    # the pin is meaningful: the pandas engine DOES plan a python node
+    pandas_plan = _plan(chunker.chunk_documents(src, 60, engine="pandas"))
+    assert "ArrowEvalPython" in pandas_plan
