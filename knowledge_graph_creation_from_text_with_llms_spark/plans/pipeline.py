@@ -39,6 +39,10 @@ class PipelineConfig:
     clean_html: bool = False
     # P10: cap chunks per document (reference main.py max_chunks)
     max_chunks: int | None = None
+    # extract engine: None → KG_EXTRACT_ENGINE env, default "auto"
+    # ("expr" when backend_factory is the deterministic RuleBasedBackend
+    # — JVM-side, no python workers — else the mapInPandas batch path)
+    extract_engine: str | None = None
 
 
 STAGES = ("chunks", "raw_responses", "triples_raw", "triples_linked",
@@ -74,6 +78,26 @@ class KGPipeline:
         return chunks
 
     def stage_responses(self, chunks: DataFrame) -> DataFrame:
+        import os
+
+        engine = self.config.extract_engine or os.environ.get(
+            "KG_EXTRACT_ENGINE", "auto"
+        )
+        if engine not in ("auto", "expr", "pandas"):
+            raise ValueError(f"unknown extract engine {engine!r}")
+        is_rule_based = (
+            self.config.backend_factory is extractor.RuleBasedBackend
+        )
+        if engine == "auto":
+            engine = "expr" if is_rule_based else "pandas"
+        if engine == "expr":
+            if not is_rule_based:
+                raise ValueError(
+                    "extract_engine='expr' is the JVM twin of "
+                    "RuleBasedBackend only; model backends need the "
+                    "mapInPandas path (extract_engine='pandas')"
+                )
+            return extractor.extract_responses_expr(chunks)
         return extractor.extract_responses(chunks, self.config.backend_factory)
 
     def stage_triples_raw(self, responses: DataFrame) -> DataFrame:

@@ -299,3 +299,31 @@ def test_expr_chunker_stays_jvm_side(spark):
     # the pin is meaningful: the pandas engine DOES plan a python node
     pandas_plan = _plan(chunker.chunk_documents(src, 60, engine="pandas"))
     assert "ArrowEvalPython" in pandas_plan
+
+
+def test_default_pipeline_text_path_is_python_free(spark, tmp_path):
+    """Round-4 scaling fix, composed: with the default config
+    (RuleBasedBackend), the whole chunk → extract → parse chain — the
+    pipeline's entire per-row text path — plans with ZERO python-worker
+    nodes. Python stages are capped by the host's worst substrate
+    ceiling (~0.5 N→4N vs ~0.93 codegen, BENCH/substrate_probes.json);
+    real model backends opt back in via extract_engine='pandas'."""
+    from knowledge_graph_creation_from_text_with_llms_spark.plans.pipeline import (
+        KGPipeline,
+        PipelineConfig,
+    )
+    from knowledge_graph_creation_from_text_with_llms_spark.sources.catalog import (
+        ParquetCatalog,
+    )
+
+    src = spark.createDataFrame(
+        [("d", "r", "p", "c", "t", "Alpha beta gamma. Delta five!", "h")],
+        "doc_id string, repo string, path string, commit string, lang string,"
+        " content string, content_sha256 string",
+    )
+    pipe = KGPipeline(spark, ParquetCatalog(str(tmp_path), spark), PipelineConfig())
+    chunks = pipe.stage_chunks(src)
+    responses = pipe.stage_responses(chunks)
+    triples = pipe.stage_triples_raw(responses)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in _plan(triples), marker
