@@ -261,13 +261,19 @@ def chunk_documents(
     to match the reference's chunk_{i}.txt numbering
     (Extractor.py:95-106).
 
-    engine: "expr" (default; JVM-side higher-order-function fold — no
-    python workers, scales with the codegen substrate) or "pandas"
-    (the original Arrow-batched UDF, kept selectable via
-    KG_CHUNK_ENGINE for A/B and as an escape hatch)."""
+    engine: "pandas" (default; the Arrow-batched UDF) or "expr"
+    (byte-identical JVM-side higher-order-function fold — no python
+    workers; for deployments without python workers). The default is
+    the MEASURED choice, not a guess: a same-window interleaved A/B
+    at 200k docs (scripts/engine_ab.py, 2026-08-18) put the pandas
+    fold at parity on N-core walls, 1.2x faster at 4N, and a BETTER
+    stage scaling (0.87 vs 0.65) — the round-4 premise that
+    python-worker stages cap scaling did not survive measurement
+    (Arrow stages hit 0.87-0.94 N→4N). Selectable per call or via
+    KG_CHUNK_ENGINE."""
     import os
 
-    engine = engine or os.environ.get("KG_CHUNK_ENGINE", "expr")
+    engine = engine or os.environ.get("KG_CHUNK_ENGINE", "pandas")
     if engine not in ("expr", "pandas"):
         raise ValueError(f"unknown chunk engine {engine!r}")
     keep = [c for c in carry_cols if c in source.columns]

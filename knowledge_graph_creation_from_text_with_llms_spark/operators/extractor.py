@@ -144,15 +144,17 @@ class HFCausalBackend(Backend):  # pragma: no cover - no GPU/weights in CI
 # -- JVM-side expression twin of RuleBasedBackend -----------------------------
 #
 # RuleBasedBackend is a regex tokenize + adjacent-pair string format —
-# exactly the shape Spark higher-order functions express natively. The
-# mapInPandas path costs one Python interpreter hop per Arrow batch; on
-# the measured substrate, python-worker stages scale ~0.5-0.7 N→4N
-# while pure-JVM stages track the codegen ceiling (~0.93), and after
-# the round-4 expr chunker landed, the extractor was the LAST python
-# stage on the pipeline's default path. This twin keeps the deterministic
-# backend entirely in whole-stage codegen; the mapInPandas path remains
-# the contract for real model backends (HF/replay), selectable via
-# PipelineConfig.extract_engine / KG_EXTRACT_ENGINE.
+# exactly the shape Spark higher-order functions express natively.
+# This twin keeps the deterministic backend entirely in whole-stage
+# codegen (zero python workers); it exists for deployments where
+# python workers are unavailable or priced out. It is NOT the
+# default: a same-window interleaved A/B (scripts/engine_ab.py,
+# 2026-08-18, 200k docs, pinned 2- vs 8-core JVMs) measured the
+# Arrow-batched mapInPandas path 3.85x faster at N and 3.68x at 4N
+# with equal stage scaling (0.94 vs 0.98) — C-regex over Arrow
+# batches beats java.util.regex + per-token UTF8String/concat
+# garbage on this string-heavy shape. Select via
+# PipelineConfig.extract_engine="expr" / KG_EXTRACT_ENGINE=expr.
 #
 # Byte-equivalence with RuleBasedBackend.generate is pinned by
 # tests/test_extractor.py (adversarial + reference-corpus + fuzz);

@@ -136,9 +136,11 @@ def test_expr_extractor_plan_is_python_free(spark):
 
 
 def test_pipeline_extract_engine_selection(spark, tmp_path):
-    """auto → expr for RuleBasedBackend, pandas for other backends;
-    expr with a model backend is a hard error; both engines produce
-    byte-identical raw_responses through the pipeline stage."""
+    """auto → pandas for every backend (the measured default,
+    scripts/engine_ab.py); expr is the opt-in JVM twin for
+    RuleBasedBackend only and a hard error for model backends; both
+    engines produce byte-identical raw_responses through the
+    pipeline stage."""
     from knowledge_graph_creation_from_text_with_llms_spark.operators.extractor import (
         ReplayBackend,
     )
@@ -158,14 +160,14 @@ def test_pipeline_extract_engine_selection(spark, tmp_path):
     def pipe(cfg):
         return KGPipeline(spark, ParquetCatalog(str(tmp_path), spark), cfg)
 
-    # auto + RuleBasedBackend → python-free plan
+    # auto + RuleBasedBackend → Arrow-batched pandas path (the default)
     auto = pipe(PipelineConfig()).stage_responses(chunks)
     plan = auto._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in plan
-    # forced pandas stays available
-    pnd = pipe(PipelineConfig(extract_engine="pandas")).stage_responses(chunks)
-    assert "MapInPandas" in pnd._jdf.queryExecution().executedPlan().toString()
-    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, pnd.collect()))
+    assert "MapInPandas" in plan
+    # forced expr → python-free JVM twin, byte-identical rows
+    ex = pipe(PipelineConfig(extract_engine="expr")).stage_responses(chunks)
+    assert "MapInPandas" not in ex._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, ex.collect()))
     # auto + replay backend → pandas path (no error)
     replay = pipe(
         PipelineConfig(backend_factory=lambda: ReplayBackend({}))

@@ -284,9 +284,10 @@ def test_canonicalizer_two_scan_has_no_materialization(spark):
 
 
 def test_expr_chunker_stays_jvm_side(spark):
-    """Round-4 scaling fix: the default chunker must plan with NO
-    python-worker nodes (the pandas engine is the explicit opt-out) —
-    python stages scale at the host's worst substrate ceiling."""
+    """The opt-in expr chunker must plan with NO python-worker nodes
+    (that is its whole point: a byte-identical fold for deployments
+    without python workers; the Arrow-batched pandas engine is the
+    measured default — scripts/engine_ab.py)."""
     from knowledge_graph_creation_from_text_with_llms_spark.operators import chunker
 
     src = spark.createDataFrame(
@@ -301,13 +302,16 @@ def test_expr_chunker_stays_jvm_side(spark):
     assert "ArrowEvalPython" in pandas_plan
 
 
-def test_default_pipeline_text_path_is_python_free(spark, tmp_path):
-    """Round-4 scaling fix, composed: with the default config
-    (RuleBasedBackend), the whole chunk → extract → parse chain — the
-    pipeline's entire per-row text path — plans with ZERO python-worker
-    nodes. Python stages are capped by the host's worst substrate
-    ceiling (~0.5 N→4N vs ~0.93 codegen, BENCH/substrate_probes.json);
-    real model backends opt back in via extract_engine='pandas'."""
+def test_pipeline_text_path_engine_plans(spark, tmp_path):
+    """Engine contract on the chunk → extract → parse chain. The
+    DEFAULT path uses Arrow-vectorized python stages only (the
+    measured choice: same-window interleaved A/B put the pandas
+    extractor 3.7-3.9x faster than the JVM expr twin at both
+    parallelism levels with equal ~0.9 stage scaling — see
+    scripts/engine_ab.py and BENCH/BASELINE.md) and must NEVER plan a
+    row-at-a-time BatchEvalPython node. The all-expr OPT-IN config
+    (python-less deployments) must plan ZERO python nodes of any
+    kind."""
     from knowledge_graph_creation_from_text_with_llms_spark.plans.pipeline import (
         KGPipeline,
         PipelineConfig,
@@ -315,6 +319,7 @@ def test_default_pipeline_text_path_is_python_free(spark, tmp_path):
     from knowledge_graph_creation_from_text_with_llms_spark.sources.catalog import (
         ParquetCatalog,
     )
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import chunker
 
     src = spark.createDataFrame(
         [("d", "r", "p", "c", "t", "Alpha beta gamma. Delta five!", "h")],
@@ -322,8 +327,18 @@ def test_default_pipeline_text_path_is_python_free(spark, tmp_path):
         " content string, content_sha256 string",
     )
     pipe = KGPipeline(spark, ParquetCatalog(str(tmp_path), spark), PipelineConfig())
-    chunks = pipe.stage_chunks(src)
-    responses = pipe.stage_responses(chunks)
-    triples = pipe.stage_triples_raw(responses)
+    triples = pipe.stage_triples_raw(pipe.stage_responses(pipe.stage_chunks(src)))
+    default_plan = _plan(triples)
+    assert "BatchEvalPython" not in default_plan  # never row-at-a-time
+    assert "MapInPandas" in default_plan  # Arrow-batched extractor
+
+    # all-expr opt-in: fully python-free
+    expr_pipe = KGPipeline(
+        spark, ParquetCatalog(str(tmp_path), spark),
+        PipelineConfig(extract_engine="expr"),
+    )
+    chunks = chunker.chunk_documents(src, 500, "char", engine="expr")
+    expr_triples = expr_pipe.stage_triples_raw(expr_pipe.stage_responses(chunks))
+    expr_plan = _plan(expr_triples)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
-        assert marker not in _plan(triples), marker
+        assert marker not in expr_plan, marker
