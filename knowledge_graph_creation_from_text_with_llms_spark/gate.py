@@ -22,7 +22,7 @@ from .functions.text import bigrams_expr, tokens_expr, word_shingles_expr
 from .operators import canonicalizer, contamination, dedup, events, graph
 from .operators import linker, metrics, parser, sampling, similarity, textstats
 from .operators import viz
-from .operators.chunker import chunk_array_expr
+from .operators.chunker import chunk_documents
 
 CHUNK_SIZE = 120  # word-unit chunking of the ~300-char synthetic docs
 DICT_MIN_DF = 20  # tokens present in >= this many docs enter the dict
@@ -234,7 +234,13 @@ def clear_incremental_index_cache() -> None:
 
 
 def _incr_index(spark: SparkSession, sf_dir: str, kind: str, build):
-    key = (kind, sf_dir, spark.sparkContext.applicationId)
+    app_id = spark.sparkContext.applicationId
+    # evict entries from stopped SparkContexts: a long-lived process
+    # that cycles sessions would otherwise leak dead DataFrame refs
+    # (each pins a checkpoint lineage) for every past application
+    for k in [k for k in _INCR_INDEX_CACHE if k[2] != app_id]:
+        del _INCR_INDEX_CACHE[k]
+    key = (kind, sf_dir, app_id)
     if key not in _INCR_INDEX_CACHE:
         _INCR_INDEX_CACHE[key] = build()
     return _INCR_INDEX_CACHE[key]
@@ -283,13 +289,17 @@ FROM state GROUP BY doc_id, chunk_id
 )
 def kg_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy fold chunker (reference Extractor.py:72-93 semantics) in
-    word-unit mode over the synthetic docs."""
+    word-unit mode over the synthetic docs. Routed through
+    chunk_documents with engine=None so the oracle hash-verifies the
+    SHIPPED default engine (pandas unless KG_CHUNK_ENGINE overrides) —
+    the expr twin stays covered by the byte-equivalence pytest suite
+    and is gate-checked whenever a campaign exports KG_CHUNK_ENGINE."""
     docs = _docs(spark, sf_dir)
-    arr = chunk_array_expr(F.col("text"), CHUNK_SIZE, "word")
-    return docs.select(
-        "doc_id", F.posexplode(arr).alias("pos", "text")
-    ).select(
-        "doc_id", (F.col("pos") + 1).cast("long").alias("chunk_id"), "text"
+    out = chunk_documents(
+        docs, CHUNK_SIZE, unit="word", text_col="text", carry_cols=("doc_id",)
+    )
+    return out.select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"), "text"
     )
 
 

@@ -72,11 +72,51 @@ def _word_vocab(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _learn_merges_local(
+    rows: list, num_merges: int
+) -> tuple[list[tuple[str, str]], list]:
+    """The merge loop on a COLLECTED vocabulary: bit-identical to the
+    distributed loop (same adjacent-pair counting weighted by word
+    count, same (count desc, pair asc) argmax — symbols are ASCII from
+    tokens_expr's [a-z0-9]+, so Python string order equals Spark's
+    UTF-8 binary order — same boundary-safe greedy left-to-right
+    apply, same <2 early stop). rows: [(w, cnt, syms_token_list)].
+    Returns (merges, rows_with_final_syms)."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[str, int] = {}
+        for _w, cnt, syms in rows:
+            for i in range(len(syms) - 1):
+                p = syms[i] + " " + syms[i + 1]
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        pat, c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        a, b = pat.split(" ", 1)
+        merges.append((a, b))
+        for r in rows:
+            syms = r[2]
+            if pat not in " ".join(syms):
+                continue
+            acc: list[str] = []
+            for t in syms:
+                if t == b and acc and acc[-1] == a:
+                    acc[-1] = a + b
+                else:
+                    acc.append(t)
+            r[2] = acc
+    return merges, rows
+
+
 def learn_bpe(
     docs: DataFrame,
     num_merges: int = 20,
     text_col: str = "text",
     max_vocab: int | None = None,
+    learn_engine: str | None = None,
+    max_driver_vocab: int = 1_000_000,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn `num_merges` BPE merges; returns (merges, final_vocab).
 
@@ -85,18 +125,57 @@ def learn_bpe(
     is (w, syms, cnt) with every vocabulary word fully encoded — join
     corpus tokens against it to tokenize the training corpus itself.
 
-    Each round is one aggregation over the VOCABULARY (not the corpus)
-    plus a 1-row argmax collect — the only driver traffic is the
-    winning pair. `max_vocab` caps learning to the most frequent words
-    (count desc, word asc — deterministic), the standard sampling
-    lever at 100 TB where even the distinct-word table is large.
-    Stops early when no pair occurs twice.
+    learn_engine (or KG_BPE_ENGINE): where the merge LOOP runs — the
+    corpus-scale work is always the one distributed vocabulary
+    aggregation either way.
+    - "distributed": each round is one aggregation over the VOCABULARY
+      plus a 1-row argmax collect — the only driver traffic is the
+      winning pair. Right when even the distinct-word table is too big
+      to collect.
+    - "driver": collect the (bounded) vocabulary ONCE and run the loop
+      in plain Python — num_merges rounds of per-job scheduling
+      overhead collapse to zero; bit-identical output (equivalence
+      pinned in tests/test_bpe.py). Refuses vocabularies above
+      max_driver_vocab rows (one count() when the size isn't already
+      bounded by max_vocab).
+    - default "distributed" pending the same-window A/B both ways
+      (round-4 lesson: engine defaults are measured, not argued).
+
+    `max_vocab` caps learning to the most frequent words (count desc,
+    word asc — deterministic), the standard sampling lever at 100 TB
+    where even the distinct-word table is large. Stops early when no
+    pair occurs twice.
     """
+    import os
+
+    engine = learn_engine or os.environ.get("KG_BPE_ENGINE", "distributed")
+    if engine not in ("distributed", "driver"):
+        raise ValueError(f"unknown BPE learn engine {engine!r}")
     vocab = _word_vocab(docs, text_col)
     if max_vocab is not None:
         vocab = (
             vocab.orderBy(F.desc("cnt"), F.asc("w")).limit(max_vocab)
         )
+    if engine == "driver":
+        spark = docs.sparkSession
+        if max_vocab is None or max_vocab > max_driver_vocab:
+            n = vocab.count()
+            if n > max_driver_vocab:
+                raise ValueError(
+                    f"driver BPE learn: vocabulary has {n} rows > "
+                    f"max_driver_vocab={max_driver_vocab}; use "
+                    "learn_engine='distributed' or cap with max_vocab"
+                )
+        rows = [
+            [r["w"], r["cnt"], r["syms"].split(" ")]
+            for r in vocab.collect()
+        ]
+        merges, rows = _learn_merges_local(rows, num_merges)
+        out = spark.createDataFrame(
+            [(w, cnt, " ".join(syms)) for w, cnt, syms in rows],
+            "w string, cnt long, syms string",
+        )
+        return merges, out.select("w", "cnt", "syms")
     vocab = vocab.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):

@@ -731,6 +731,7 @@ def minhash_lsh_pairs_incremental(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 500,
+    max_broadcast_keys: int = 1_000_000,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental near-dup detection: pairs touching the DELTA only.
 
@@ -749,6 +750,15 @@ def minhash_lsh_pairs_incremental(
 
     The bucket cap applies to the COMBINED bucket (prior + delta
     members), same audit contract as the batch operator.
+
+    `max_broadcast_keys` guards the delta-key broadcast: the probe's
+    map-side prior-index prune broadcasts the delta's (band_id,
+    band_key) set, which is only safe while that set fits the driver.
+    The upper bound |delta| x bands is checked with one delta-bounded
+    count(); past the threshold the hint is dropped and the semi-join
+    falls back to a shuffle (still delta-bounded on one side, and AQE
+    may re-broadcast from measured stats) instead of OOMing the
+    driver on an oversized delta.
     """
     new_bands = minhash_band_keys(
         new_docs, id_col, text_col, num_hashes, rows_per_band, shingle_n
@@ -799,9 +809,14 @@ def minhash_lsh_pairs_incremental(
         # shuffle. (Round 3's count-then-semi-join form scanned and
         # shuffled the full combined index twice.)
         delta_keys = nb.select("band_id", "band_key").distinct()
-        touched = u.join(
-            F.broadcast(delta_keys), ["band_id", "band_key"], "semi"
-        )
+        # |delta_keys| <= |delta docs| x bands exactly (each doc emits
+        # one key per band); one delta-bounded count() decides whether
+        # the broadcast hint is safe, so an oversized delta degrades to
+        # a shuffle semi-join instead of OOMing the driver.
+        bands = max(1, num_hashes // rows_per_band)
+        if new_docs.count() * bands <= max_broadcast_keys:
+            delta_keys = F.broadcast(delta_keys)
+        touched = u.join(delta_keys, ["band_id", "band_key"], "semi")
         w = Window.partitionBy("band_id", "band_key")
         buckets = (
             touched.withColumn("_n", F.count(F.lit(1)).over(w))

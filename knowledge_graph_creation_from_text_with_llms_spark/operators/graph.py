@@ -354,9 +354,11 @@ def pagerank(
     BSP-as-DataFrame plan; no driver-side data, no floats until the
     final cosmetic division.
     """
-    if scale != "auto" and not isinstance(scale, int):
+    if scale != "auto" and type(scale) is not int:
         # without this, a stray string flows into (100-d)*scale as
-        # Python string repetition and dies in SQL analysis later
+        # Python string repetition and dies in SQL analysis later;
+        # `type(...) is int` (not isinstance) so scale=True is rejected
+        # instead of silently running as scale=1
         raise ValueError(
             f"pagerank: scale must be an int or the literal 'auto', got {scale!r}"
         )

@@ -27,7 +27,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -38,25 +38,30 @@ def viz_edges(edges: DataFrame, max_edges: int = 500) -> DataFrame:
     ties broken on (src_id, pred_id, dst_id) for byte-stable output.
     Returns (src_id, pred_id, dst_id, weight, deg_sum), ≤ max_edges
     rows. The orderBy+limit pair compiles to a distributed partial
-    top-k — no corpus-scale sort materializes."""
+    top-k — no corpus-scale sort materializes.
+
+    Plan shape (round-5 rewrite): explode each edge into its two
+    endpoint rows, attach the node degree with ONE window count over
+    the node_id exchange, then fold the pair back with a full-row
+    groupBy summing the two endpoint degrees — two edge-scale
+    exchanges total, no join and no broadcast-size assumption on the
+    node vocabulary (the round-4 form aggregated a degree table and
+    shuffle-JOINED it back twice: three exchanges plus two sort-merge
+    joins). Requires the edges contract (set-semantic rows: the
+    builder aggregates weight=count per (src, pred, dst), §2.6), which
+    makes the groupBy row-preserving."""
     uri_edges = edges.where(~F.col("is_literal")).select(
         "src_id", "pred_id", "dst_id", "weight"
     )
-    deg = (
-        uri_edges.select(F.col("src_id").alias("node_id"))
-        .unionAll(uri_edges.select(F.col("dst_id").alias("node_id")))
-        .groupBy("node_id")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    long = uri_edges.select(
+        "src_id", "pred_id", "dst_id", "weight",
+        F.explode(F.array("src_id", "dst_id")).alias("_node"),
     )
+    w = Window.partitionBy("_node")
     ranked = (
-        uri_edges.join(deg.select(F.col("node_id").alias("src_id"),
-                                  F.col("deg").alias("_ds")), "src_id")
-        .join(deg.select(F.col("node_id").alias("dst_id"),
-                         F.col("deg").alias("_dd")), "dst_id")
-        .select(
-            "src_id", "pred_id", "dst_id", "weight",
-            (F.col("_ds") + F.col("_dd")).cast("long").alias("deg_sum"),
-        )
+        long.withColumn("_deg", F.count(F.lit(1)).over(w))
+        .groupBy("src_id", "pred_id", "dst_id", "weight")
+        .agg(F.sum("_deg").cast("long").alias("deg_sum"))
     )
     return ranked.orderBy(
         F.col("deg_sum").desc(), "src_id", "pred_id", "dst_id"

@@ -326,9 +326,30 @@ class ParquetCatalog:
                 except OSError:
                     committed = False
             else:
-                # pre-token intent row: fall back to comparing the
-                # committed footer row count to the intent's rows_out
-                committed = _parquet_rows(final) == pending["rows_out"]
+                # pre-token intent row (no token to verify — only
+                # manifests written by pre-token code can reach this).
+                # Row-count equality alone is NOT proof of commit: an
+                # unrelated write that reused the id with a
+                # coincidentally equal row count would be accepted and
+                # its live inputs dropped. Drops complete only when
+                # some-but-not-all folded inputs are already gone —
+                # only a committed compaction crashed mid-drop can
+                # produce that state (an id-reusing writer never starts
+                # drops; single-driver assumption). With all inputs
+                # intact the intent is ambiguous and resolves
+                # abort-only: worst case a committed-then-crashed
+                # pre-token union leaves duplicate rows beside its
+                # inputs (visible, re-compactable) instead of risking
+                # silent input loss.
+                folded_present = [
+                    os.path.isdir(os.path.join(d, f"snapshot={s}"))
+                    for s in pending["folded"]
+                    if s != snap
+                ]
+                drops_started = folded_present and not all(folded_present)
+                committed = drops_started and (
+                    _parquet_rows(final) == pending["rows_out"]
+                )
         if not committed:
             # crash before the rename (or an unrelated snapshot reused
             # the id): the union snapshot never committed — drop the

@@ -99,3 +99,38 @@ def test_merge_fold_greedy_left_to_right(spark):
     ).first()
     assert row.s1 == "aa a"
     assert row.s2 == "ab ab"
+
+
+def test_driver_learn_engine_is_bit_identical(spark):
+    """learn_engine='driver' (collect the bounded vocab once, loop in
+    Python) must produce the exact merges AND final vocab of the
+    distributed loop — including tie-breaks, early stop, and the
+    boundary-safe greedy apply."""
+    docs = spark.createDataFrame(
+        [
+            (1, "banana bandana ban ban banana"),
+            (2, "an analog anagram and and banana"),
+            (3, "aaa aa a zz zz zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    m_dist, v_dist = bpe.learn_bpe(docs, num_merges=8)
+    m_drv, v_drv = bpe.learn_bpe(docs, num_merges=8, learn_engine="driver")
+    assert m_drv == m_dist
+    rows = lambda v: sorted((r.w, r.cnt, r.syms) for r in v.collect())
+    assert rows(v_drv) == rows(v_dist)
+    # early-stop parity on a pairless corpus
+    single = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bpe.learn_bpe(single, num_merges=4, learn_engine="driver")[0] == \
+        bpe.learn_bpe(single, num_merges=4)[0] == []
+
+
+def test_driver_learn_engine_refuses_oversized_vocab(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_driver_vocab"):
+        bpe.learn_bpe(docs, num_merges=2, learn_engine="driver",
+                      max_driver_vocab=2)

@@ -419,3 +419,43 @@ def test_connected_components_fallback_matches_propagation(spark):
     }
     assert slow == fast
     assert fast[4] == 0 and fast[103] == 100 and fast[40] == 20
+
+
+def test_incremental_lsh_oversized_delta_drops_broadcast_hint(spark):
+    """An oversized delta must degrade to a shuffle semi-join (no
+    driver-side broadcast of the delta keys) instead of OOMing the
+    driver, with identical pairs (round-4 ADVICE: the constraint was
+    documented but not enforced)."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_creation_from_text_with_llms_spark.functions.text import (
+        word_shingles_expr,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    prior = mk([(1, base), (2, base + " iota")])
+    delta = mk([(10, base + " kappa"), (11, "novel words only here")])
+    prior_bands = dedup.minhash_band_keys(prior)
+    prior_sh = prior.select(
+        "doc_id",
+        F.array_distinct(word_shingles_expr("text", 3)).alias("_sh"),
+    )
+    hinted, _, _ = dedup.minhash_lsh_pairs_incremental(
+        delta, prior_bands, prior_sh
+    )
+    unhinted, _, _ = dedup.minhash_lsh_pairs_incremental(
+        delta, prior_bands, prior_sh, max_broadcast_keys=1
+    )
+    want = {(r.id_a, r.id_b) for r in hinted.collect()}
+    got = {(r.id_a, r.id_b) for r in unhinted.collect()}
+    assert got == want and got
+    # the analyzed plan carries the forced hint only under the cap
+    # (AQE staying free to broadcast from measured stats is intended)
+    def _analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    assert "ResolvedHint" in _analyzed(hinted)
+    assert "ResolvedHint" not in _analyzed(unhinted)

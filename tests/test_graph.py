@@ -221,3 +221,19 @@ def test_pagerank_auto_scale_matches_explicit(spark):
     assert auto == explicit
     # 85 * N * scale stays under 2^63 by construction
     assert 85 * n * derived < 2**63
+
+
+def test_pagerank_rejects_bool_and_bad_scale(spark):
+    """scale=True is a bool, not an int — it must be rejected like any
+    other bad input instead of silently running as scale=1 (round-4
+    ADVICE: isinstance(True, int) is True)."""
+    import pytest
+
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b")], "src_id string, dst_id string"
+    )
+    for bad in (True, False, "big", 1.5, None):
+        with pytest.raises(ValueError, match="scale must be"):
+            graph.pagerank(edges, iterations=1, scale=bad)

@@ -172,6 +172,14 @@ def test_compaction_crash_after_rename_completes_drops(spark, tmp_path):
     snap = snaps[-1] + 1
     final = os.path.join(cat._table_dir("t"), f"snapshot={snap}")
     KGPipeline._read_all(cat, "t").write.parquet(final)
+    # current compact() always stamps the commit token before the
+    # intent row — simulate ITS crash window, token and all (the
+    # legacy tokenless windows have their own tests below)
+    token = "feedface" * 4
+    with open(
+        os.path.join(final, ".compaction_token"), "w", encoding="utf-8"
+    ) as f:
+        f.write(token)
     cat._append_manifest(
         {
             "run_id": "crashed",
@@ -181,6 +189,7 @@ def test_compaction_crash_after_rename_completes_drops(spark, tmp_path):
             "rows_out": 13,
             "snapshot_id": snap,
             "folded": snaps,
+            "token": token,
             "wall_sec": 0.0,
             "updated_at": "2026-01-01T00:00:00Z",
         }
@@ -325,3 +334,64 @@ def test_compaction_token_round_trip(spark, tmp_path):
         assert f.read().strip() == intent["token"]
     assert cat.recover("t") is None
     assert cat.read("t").count() == 13  # dot-file ignored by the reader
+
+
+def _pretoken_intent(cat, snaps, snap, rows_out=13):
+    """Append a legacy 'compacting' intent row WITHOUT a token field,
+    as pre-token code wrote them."""
+    cat._append_manifest(
+        {
+            "run_id": "crashed",
+            "stage": "t",
+            "status": "compacting",
+            "rows_in": len(snaps),
+            "rows_out": rows_out,
+            "snapshot_id": snap,
+            "folded": snaps,
+            "wall_sec": 0.0,
+            "updated_at": "2026-01-01T00:00:00Z",
+        }
+    )
+
+
+def test_recover_pretoken_all_inputs_intact_is_abort_only(spark, tmp_path):
+    """A tokenless (legacy) intent whose folded inputs are ALL still on
+    disk is ambiguous: the snapshot dir carrying the intended id could
+    be an unrelated write with a coincidentally equal row count.
+    recover() must never complete drops on that evidence — inputs and
+    the id-bearing snapshot both survive."""
+    import os
+
+    cat = _compaction_state(spark, tmp_path, "c7")
+    snaps = cat.snapshots("t")
+    snap = snaps[-1] + 1
+    _pretoken_intent(cat, snaps, snap)
+    # id-reusing snapshot with EXACTLY the intent's row count, no token
+    final = os.path.join(cat._table_dir("t"), f"snapshot={snap}")
+    spark.range(100, 113).toDF("id").write.parquet(final)
+    assert cat.recover("t") == "aborted"
+    assert cat.snapshots("t") == snaps + [snap]  # no input dropped
+    got = sorted(r.id for r in KGPipeline._read_all(cat, "t").collect())
+    assert got == list(range(13)) + list(range(100, 113))
+
+
+def test_recover_pretoken_partial_drops_completes(spark, tmp_path):
+    """A tokenless intent where some (but not all) folded inputs are
+    already gone can only be a committed compaction crashed mid-drop —
+    an id-reusing writer never starts drops. recover() completes the
+    remaining drops and the union view stays exact."""
+    import os
+    import shutil
+
+    cat = _compaction_state(spark, tmp_path, "c8")
+    snaps = cat.snapshots("t")
+    snap = snaps[-1] + 1
+    final = os.path.join(cat._table_dir("t"), f"snapshot={snap}")
+    KGPipeline._read_all(cat, "t").write.parquet(final)  # committed union
+    _pretoken_intent(cat, snaps, snap)
+    # crashed after dropping the first folded input only
+    shutil.rmtree(os.path.join(cat._table_dir("t"), f"snapshot={snaps[0]}"))
+    assert cat.recover("t") == "completed"
+    assert cat.snapshots("t") == [snap]
+    got = sorted(r.id for r in KGPipeline._read_all(cat, "t").collect())
+    assert got == list(range(13))

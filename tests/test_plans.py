@@ -342,3 +342,22 @@ def test_pipeline_text_path_engine_plans(spark, tmp_path):
     expr_plan = _plan(expr_triples)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in expr_plan, marker
+
+
+def test_viz_edges_degree_attach_is_join_free(spark):
+    """The draw selection's degree attach must be the window-over-one-
+    exchange form — no join of any strategy back to the edge list and
+    no broadcast-size assumption on the node vocabulary (round-4 form
+    shuffle-joined a degree table back twice; round-5 pin)."""
+    from knowledge_graph_creation_from_text_with_llms_spark.operators import viz
+
+    edges = spark.createDataFrame(
+        [("a", "p", "b", 2, False), ("b", "p", "c", 1, False),
+         ("a", "q", "lit", 1, True)],
+        "src_id string, pred_id string, dst_id string, weight long, is_literal boolean",
+    )
+    plan = _plan(viz.viz_edges(edges, max_edges=5), execute=True)
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+    assert "TakeOrderedAndProject" in plan  # distributed partial top-k
