@@ -138,8 +138,15 @@ def learn_bpe(
       pinned in tests/test_bpe.py). Refuses vocabularies above
       max_driver_vocab rows (one count() when the size isn't already
       bounded by max_vocab).
-    - default "distributed" pending the same-window A/B both ways
-      (round-4 lesson: engine defaults are measured, not argued).
+    - "auto" (default): driver when the vocabulary fits
+      max_driver_vocab (counted once if max_vocab doesn't already
+      bound it), distributed fallback when it doesn't. The default is
+      the MEASURED choice (round-4 rule): same-window interleaved A/B
+      on the sf0.1 gate, both trial orders — driver 1.8-2.3 s vs
+      distributed 3.8-3.9 s at 2 cores, 1.5-1.7 s vs 4.2-4.8 s at 8
+      cores (the distributed loop DEGRADES with cores: 2x12-round job
+      scheduling over a ~27k-word table dwarfs the compute); see
+      BENCH/BASELINE.md round-5 notes.
 
     `max_vocab` caps learning to the most frequent words (count desc,
     word asc — deterministic), the standard sampling lever at 100 TB
@@ -148,24 +155,28 @@ def learn_bpe(
     """
     import os
 
-    engine = learn_engine or os.environ.get("KG_BPE_ENGINE", "distributed")
-    if engine not in ("distributed", "driver"):
+    engine = learn_engine or os.environ.get("KG_BPE_ENGINE", "auto")
+    if engine not in ("auto", "distributed", "driver"):
         raise ValueError(f"unknown BPE learn engine {engine!r}")
     vocab = _word_vocab(docs, text_col)
     if max_vocab is not None:
         vocab = (
             vocab.orderBy(F.desc("cnt"), F.asc("w")).limit(max_vocab)
         )
-    if engine == "driver":
+    if engine != "distributed":
         spark = docs.sparkSession
         if max_vocab is None or max_vocab > max_driver_vocab:
             n = vocab.count()
             if n > max_driver_vocab:
-                raise ValueError(
-                    f"driver BPE learn: vocabulary has {n} rows > "
-                    f"max_driver_vocab={max_driver_vocab}; use "
-                    "learn_engine='distributed' or cap with max_vocab"
-                )
+                if engine == "auto":
+                    engine = "distributed"  # too big to collect — loop stays on the cluster
+                else:
+                    raise ValueError(
+                        f"driver BPE learn: vocabulary has {n} rows > "
+                        f"max_driver_vocab={max_driver_vocab}; use "
+                        "learn_engine='distributed' or cap with max_vocab"
+                    )
+    if engine != "distributed":
         rows = [
             [r["w"], r["cnt"], r["syms"].split(" ")]
             for r in vocab.collect()

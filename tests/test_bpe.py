@@ -114,7 +114,8 @@ def test_driver_learn_engine_is_bit_identical(spark):
         ],
         "doc_id long, text string",
     )
-    m_dist, v_dist = bpe.learn_bpe(docs, num_merges=8)
+    m_dist, v_dist = bpe.learn_bpe(docs, num_merges=8,
+                                   learn_engine="distributed")
     m_drv, v_drv = bpe.learn_bpe(docs, num_merges=8, learn_engine="driver")
     assert m_drv == m_dist
     rows = lambda v: sorted((r.w, r.cnt, r.syms) for r in v.collect())
@@ -122,7 +123,7 @@ def test_driver_learn_engine_is_bit_identical(spark):
     # early-stop parity on a pairless corpus
     single = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     assert bpe.learn_bpe(single, num_merges=4, learn_engine="driver")[0] == \
-        bpe.learn_bpe(single, num_merges=4)[0] == []
+        bpe.learn_bpe(single, num_merges=4, learn_engine="distributed")[0] == []
 
 
 def test_driver_learn_engine_refuses_oversized_vocab(spark):
@@ -134,3 +135,16 @@ def test_driver_learn_engine_refuses_oversized_vocab(spark):
     with pytest.raises(ValueError, match="max_driver_vocab"):
         bpe.learn_bpe(docs, num_merges=2, learn_engine="driver",
                       max_driver_vocab=2)
+
+
+def test_auto_engine_falls_back_distributed_on_oversized_vocab(spark):
+    """learn_engine='auto' (the default) must degrade to the
+    distributed loop, not raise, when the vocabulary exceeds
+    max_driver_vocab — same merges either way."""
+    docs = spark.createDataFrame(
+        [(1, "banana ban bandana banana an and")], "doc_id long, text string"
+    )
+    m_auto, _ = bpe.learn_bpe(docs, num_merges=3, max_driver_vocab=2)
+    m_dist, _ = bpe.learn_bpe(docs, num_merges=3,
+                              learn_engine="distributed")
+    assert m_auto == m_dist and m_auto
