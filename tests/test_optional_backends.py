@@ -99,3 +99,57 @@ def test_library_decoder_and_resizer_smoke():
     assert all(0.0 <= v <= 1.0 for v in feats)
     out = multimodal.LibraryResizer().resize(payload, 4, 4)
     assert Image.open(io.BytesIO(out)).size == (4, 4)
+
+
+# -- Spark-path integration smokes (auto-run wherever the libs exist) --------
+#
+# The construction smokes above prove the backends; these prove the
+# WIRING — backend_factory through the real mapInPandas stages — so a
+# lib-bearing environment upgrades the whole path from skipped to run
+# without any code or marker change.
+
+
+@pytest.mark.skipif(not _HAS_TRANSFORMERS, reason="torch/transformers not installed")
+def test_hf_backend_through_extract_responses(spark):
+    chunks = spark.createDataFrame(
+        [("d1", 1, "alpha beta gamma"), ("d2", 1, "delta epsilon zeta")],
+        "doc_id string, chunk_id int, text string",
+    )
+    out = extractor.extract_responses(
+        chunks,
+        lambda: extractor.HFCausalBackend(
+            model_name="sshleifer/tiny-gpt2",
+            generate_params={"max_new_tokens": 4, "do_sample": False},
+        ),
+    ).collect()
+    assert len(out) == 2 and all(r.response is not None for r in out)
+
+
+@pytest.mark.skipif(not _HAS_ST, reason="sentence-transformers not installed")
+def test_sentence_encoder_through_embed_labels(spark):
+    df = spark.createDataFrame(
+        [("e1", "hello world"), ("e2", "spark graft")], "id string, label string"
+    )
+    rows = embeddings.embed_labels_with_model(df, "label").collect()
+    assert len(rows) == 2
+    dims = {len(r.embedding) for r in rows}
+    assert len(dims) == 1 and dims.pop() > 0
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed")
+def test_library_decoder_through_extract_media_features(spark):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 4), (0, 128, 255)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(buf.getvalue()))],
+        "media_id string, kind string, payload binary",
+    )
+    rows = multimodal.extract_media_features(
+        media, decoder_factory=multimodal.LibraryDecoder
+    ).collect()
+    assert len(rows) == 1
+    assert len(rows[0].features) == multimodal.FEATURE_DIM
