@@ -170,6 +170,18 @@ def main() -> None:
         "events_funnel_deep",
         "events_asof_join_inner",
         "kg_viz_edges",
+        # round-5 additions: the remaining registry gates, so BENCH
+        # covers every queries() entry (all cheap; appended to keep
+        # earlier rounds' sets prefix-comparable)
+        "kg_mentions",
+        "kg_graph_stats",
+        "kg_metrics_strict",
+        "kg_metrics_relaxed",
+        "kg_metrics_rouge1",
+        "kg_metrics_rougel",
+        "corpus_sample",
+        "events_json_props",
+        "events_user_gaps",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
 

@@ -20,3 +20,12 @@ def test_readme_gate_totals_match_registry():
     nq, no = len(gate.QUERIES), len(gate.ORACLES)
     readme = (ROOT / "README.md").read_text(encoding="utf-8")
     assert f"{no} of the {nq} gate queries" in readme
+
+
+def test_bench_covers_every_gate():
+    """bench.py must time every registered gate query (plus the e2e
+    flagship and the index-build split) — round-5 rule so a new gate
+    can't land without a bench entry."""
+    src = (ROOT / "bench.py").read_text(encoding="utf-8")
+    missing = [q for q in gate.QUERIES if f'"{q}"' not in src]
+    assert not missing, missing
