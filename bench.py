@@ -119,6 +119,7 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_duplicate_spans",
         "dedup_ngram_jaccard",
         "dedup_embedding_neardup",
         "ann_topk_bruteforce",

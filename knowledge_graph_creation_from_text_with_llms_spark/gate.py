@@ -1003,6 +1003,52 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return pairs
 
 
+# -- 12c. duplicated token spans ---------------------------------------------------
+
+@_q(
+    "dedup_duplicate_spans",
+    f"""
+WITH t AS (SELECT doc_id, {TOK} AS w FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS gh
+  FROM t, unnest(range(1, len(w) - 6)) AS u(i)
+  WHERE len(w) >= 8
+),
+d AS (
+  -- cross-doc test without a doc-id set: total occurrences of the
+  -- gram exceed the occurrences in THIS row's doc; hot (boilerplate)
+  -- grams above the cap are dropped, mirroring the Spark twin
+  SELECT doc_id, pos FROM g
+  QUALIFY count(*) OVER (PARTITION BY gh)
+            > count(*) OVER (PARTITION BY gh, doc_id)
+     AND count(*) OVER (PARTITION BY gh) <= 1000
+),
+flags AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS new_island
+  FROM d
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flags
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 8 AS BIGINT) AS span_end,
+       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM islands GROUP BY doc_id, island
+""",
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (Lee et al. 2022): maximal token spans
+    whose 8-grams recur verbatim in another document — the spans a
+    training pipeline cuts instead of dropping the whole doc."""
+    return dedup.duplicate_spans(_docs(spark, sf_dir), k=8)
+
+
 # -- 13. simhash ---------------------------------------------------------------------
 
 @_q(

@@ -864,3 +864,93 @@ def minhash_lsh_pairs_incremental(
         .select("id_a", "id_b", F.col("jaccard"))
     )
     return j, new_bands, new_shingles
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_occurrences: int = 1000,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Span-level exact dedup: every maximal token span whose k-token
+    grams each recur verbatim in some OTHER document — the operator
+    family of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (ACL 2022), where the remedy is cutting the
+    duplicated SPAN from the training text, not dropping the document
+    (doc-level families here: exact/minhash/simhash/jaccard).
+
+    Output: (doc_id, span_start, span_end, n_tokens, n_grams) over
+    `tokens_expr` positions — 0-based token indices, end exclusive;
+    n_grams counts the duplicated k-grams the span fused. Two
+    duplicated grams fuse when their k-token coverage overlaps or
+    touches (gap tolerance k).
+
+    Scale shape (100 TB notes):
+    - the gram explode is map-side, ~one row per token, and grams ride
+      the shuffle as 128-bit md5 digests, never gram text;
+    - ONE exchange on gram_md5 serves BOTH window counts (the
+      (gram_md5, doc_id) partition is clustering-satisfied by the
+      gram_md5 exchange, so it adds a sort, not a shuffle); the
+      cross-doc test is `occ_total > occ_in_this_doc` — no
+      collect_set of doc ids ever builds;
+    - boilerplate grams hotter than `max_gram_occurrences` are dropped
+      by the same window count, spillably, BEFORE any per-doc work —
+      the same skew bound the LSH bucket cap applies (document the cap
+      when reporting: over-cap grams are not span evidence);
+    - the island merge is ONE exchange on doc_id; the final groupBy
+      (doc_id, island) reuses it.
+    Total: two data-scale exchanges, no join, no driver traffic.
+    """
+    toks = tokens_expr(text_col)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("w")).where(
+        F.size("w") >= k
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.lit(k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, k))),
+            )
+        ).alias("pos", "gram_md5"),
+    )
+    w_gram = Window.partitionBy("gram_md5")
+    w_gram_doc = Window.partitionBy("gram_md5", "doc_id")
+    dup_pos = (
+        grams.withColumn("occ_total", F.count(F.lit(1)).over(w_gram))
+        .withColumn("occ_doc", F.count(F.lit(1)).over(w_gram_doc))
+        .where(
+            (F.col("occ_total") > F.col("occ_doc"))
+            & (F.col("occ_total") <= max_gram_occurrences)
+        )
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        dup_pos.withColumn(
+            "new_island",
+            F.when(F.col("pos") - F.lag("pos").over(w_doc) <= k, F.lit(0))
+            .otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .withColumn(
+            "n_tokens", (F.col("span_end") - F.col("span_start")).cast("long")
+        )
+        .select("doc_id", "span_start", "span_end", "n_tokens", "n_grams")
+    )
+    if min_span_tokens is not None:
+        spans = spans.where(F.col("n_tokens") >= min_span_tokens)
+    return spans

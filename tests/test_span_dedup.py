@@ -1,0 +1,101 @@
+"""Span-level exact dedup (dedup.duplicate_spans): cross-document
+duplicated token spans, the Lee-et-al-2022 family — cut the span, not
+the doc. Semantics pinned here; oracle parity rides
+tests/test_entry_oracle.py::test_query_matches_oracle[dedup_duplicate_spans].
+"""
+
+from __future__ import annotations
+
+import re
+
+from knowledge_graph_creation_from_text_with_llms_spark.operators import dedup
+
+SHARED10 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _spans(spark, rows, **kw):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.duplicate_spans(docs, **kw)
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens, r.n_grams)
+        for r in out.collect()
+    }
+
+
+def test_shared_run_found_at_exact_positions_in_both_docs(spark):
+    got = _spans(
+        spark,
+        [
+            (1, f"start one two {SHARED10} tail x y z"),
+            (2, f"other words here {SHARED10} closing words now"),
+            (3, "totally unrelated text with nothing shared at all today"),
+        ],
+        k=8,
+    )
+    # 10 shared tokens at offset 3 in both docs -> 3 duplicated 8-grams
+    # (positions 3,4,5) fusing to span [3, 13)
+    assert got == {(1, 3, 13, 10, 3), (2, 3, 13, 10, 3)}
+
+
+def test_within_doc_repetition_alone_is_not_a_span(spark):
+    got = _spans(
+        spark,
+        [
+            (1, "repeat me now " * 8),
+            (2, "entirely different content with no overlap whatsoever here"),
+        ],
+        k=8,
+    )
+    assert got == set()
+
+
+def test_far_apart_duplicates_make_two_spans_close_ones_fuse(spark):
+    filler_a = "unique filler alpha " * 8  # 24 tokens >> k: splits
+    run2 = "lambda mu nu xi omicron pi rho sigma"
+    a = f"{SHARED10} {filler_a} {run2}"
+    b = f"padding words in front {SHARED10} more padding then {run2} done"
+    got = _spans(spark, [(1, a), (2, b)], k=8)
+    by_doc = {}
+    for d, *span in got:
+        by_doc.setdefault(d, []).append(span)
+    assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2
+    # doc 1: SHARED10 at [0,10), run2 (8 tokens, 1 gram) at [34,42)
+    assert sorted(by_doc[1]) == [[0, 10, 10, 3], [34, 42, 8, 1]]
+
+
+def test_hot_gram_cap_drops_boilerplate(spark):
+    rows = [(i, f"intro {i} {SHARED10} outro {i}") for i in range(12)]
+    assert _spans(spark, rows, k=8, max_gram_occurrences=10) == set()
+    assert len(_spans(spark, rows, k=8, max_gram_occurrences=12)) == 12
+
+
+def test_min_span_tokens_filters_short_spans(spark):
+    rows = [
+        (1, f"one two {SHARED10} three four"),
+        (2, f"five six {SHARED10} seven eight"),
+    ]
+    assert len(_spans(spark, rows, k=8, min_span_tokens=11)) == 0
+    assert len(_spans(spark, rows, k=8, min_span_tokens=10)) == 2
+
+
+def test_plan_two_exchanges_no_join(spark):
+    """The 100 TB contract: gram_md5 exchange serves both window
+    counts (the (gram_md5, doc_id) window is clustering-satisfied),
+    doc_id exchange serves island merge + final groupBy — two
+    data-scale exchanges total, no join of any strategy."""
+    docs = spark.createDataFrame(
+        [(1, f"a b {SHARED10}"), (2, f"c d {SHARED10}")],
+        "doc_id long, text string",
+    )
+    df = dedup.duplicate_spans(docs, k=8)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)#", final)
+    assert sorted(set(exchanges)) == ["doc_id", "gram_md5"], exchanges
+    assert len(exchanges) == 2, exchanges
+    for bad in (
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "CartesianProduct", "BroadcastNestedLoopJoin", "collect_set",
+    ):
+        assert bad not in final, bad
