@@ -120,6 +120,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_duplicate_spans",
+        "dedup_span_removal",
         "dedup_ngram_jaccard",
         "dedup_embedding_neardup",
         "ann_topk_bruteforce",

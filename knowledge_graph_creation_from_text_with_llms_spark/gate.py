@@ -1049,6 +1049,69 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans(_docs(spark, sf_dir), k=8)
 
 
+@_q(
+    "dedup_span_removal",
+    f"""
+WITH t AS (SELECT doc_id, {TOK} AS w FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS gh
+  FROM t, unnest(range(1, len(w) - 6)) AS u(i)
+  WHERE len(w) >= 8
+),
+d AS (
+  SELECT doc_id, pos FROM g
+  QUALIFY count(*) OVER (PARTITION BY gh)
+            > count(*) OVER (PARTITION BY gh, doc_id)
+     AND count(*) OVER (PARTITION BY gh) <= 1000
+),
+flags AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS new_island
+  FROM d
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flags
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+  FROM islands GROUP BY doc_id, island
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS tok
+  FROM t, unnest(range(1, len(w) + 1)) AS u(i)
+),
+covered AS (
+  SELECT DISTINCT tk.doc_id, tk.pos
+  FROM toks tk JOIN spans s
+    ON s.doc_id = tk.doc_id
+   AND tk.pos >= s.span_start AND tk.pos < s.span_end
+),
+kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM toks tk ANTI JOIN covered c
+    ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+)
+SELECT t.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       CAST(coalesce(k.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(len(t.w) - coalesce(k.n_tokens, 0) AS BIGINT) AS n_tokens_removed
+FROM t LEFT JOIN (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_tokens
+  FROM kept GROUP BY doc_id
+) k ON k.doc_id = t.doc_id
+""",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup, remediation half: the corpus with every
+    cross-doc duplicated span cut from the normalized token stream."""
+    docs = _docs(spark, sf_dir)
+    return dedup.remove_spans(docs, dedup.duplicate_spans(docs, k=8))
+
+
 # -- 13. simhash ---------------------------------------------------------------------
 
 @_q(

@@ -954,3 +954,58 @@ def duplicate_spans(
     if min_span_tokens is not None:
         spans = spans.where(F.col("n_tokens") >= min_span_tokens)
     return spans
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remediation half of span-level dedup: cut the spans found by
+    `duplicate_spans` out of the token stream. Every duplicated span
+    is removed from every document it appears in (Lee et al. cut the
+    repeated occurrence; the keep-one-copy refinement needs a global
+    survivor policy — pick one doc per gram cluster — which is a
+    policy decision this operator deliberately leaves to the caller:
+    filter `spans` to the occurrences you want cut and pass that).
+
+    Output: (doc_id, clean_text, n_tokens, n_tokens_removed) where
+    clean_text is the space-joined surviving `tokens_expr` stream —
+    the normalized token stream a training pipeline tokenizes anyway
+    (span positions are defined over it, so cutting in raw text would
+    be ill-posed).
+
+    Scale shape: spans aggregate to one bounded array per doc (≤
+    tokens/k entries, strictly smaller than the doc text) on the
+    doc_id exchange; the join back to docs is doc-keyed on both sides
+    (sort-merge, no broadcast-size assumption); the cut itself is a
+    map-side higher-order filter — no Python, no explode back to
+    token rows."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = tokens_expr(text_col)
+    joined = docs.select(F.col(id_col).alias("doc_id"), toks.alias("w")).join(
+        per_doc, "doc_id", "left"
+    )
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    kept = F.filter(
+        F.col("w"),
+        lambda x, i: F.size(
+            F.filter(
+                spans_arr,
+                lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+            )
+        )
+        == 0,
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_tokens"),
+        (F.size("w") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

@@ -99,3 +99,46 @@ def test_plan_two_exchanges_no_join(spark):
         "CartesianProduct", "BroadcastNestedLoopJoin", "collect_set",
     ):
         assert bad not in final, bad
+
+
+def test_remove_spans_cuts_exactly_the_spans(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, f"start one two {SHARED10} tail x y z"),
+            (2, f"other words here {SHARED10} closing words now"),
+            (3, "totally unrelated text with nothing shared at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dedup.duplicate_spans(docs, k=8)
+    out = {r.doc_id: r for r in dedup.remove_spans(docs, spans).collect()}
+    assert out[1].clean_text == "start one two tail x y z"
+    assert (out[1].n_tokens, out[1].n_tokens_removed) == (7, 10)
+    assert out[2].clean_text == "other words here closing words now"
+    # doc 3 has no spans: untouched, present, zero removed
+    assert out[3].n_tokens_removed == 0
+    assert out[3].clean_text.startswith("totally unrelated")
+
+
+def test_remove_spans_can_empty_a_document(spark):
+    docs = spark.createDataFrame(
+        [(1, SHARED10), (2, SHARED10)], "doc_id long, text string"
+    )
+    spans = dedup.duplicate_spans(docs, k=8)
+    out = {r.doc_id: r for r in dedup.remove_spans(docs, spans).collect()}
+    assert out[1].clean_text == "" and out[1].n_tokens == 0
+    assert out[1].n_tokens_removed == 10
+
+
+def test_remove_spans_caller_policy_filter_respected(spark):
+    """Passing a filtered spans table cuts only those occurrences —
+    the keep-one-copy survivor policy composes on top."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, SHARED10), (2, SHARED10)], "doc_id long, text string"
+    )
+    spans = dedup.duplicate_spans(docs, k=8).where(F.col("doc_id") != 1)
+    out = {r.doc_id: r for r in dedup.remove_spans(docs, spans).collect()}
+    assert out[1].n_tokens_removed == 0 and out[1].n_tokens == 10
+    assert out[2].n_tokens == 0
