@@ -337,17 +337,34 @@ def rouge_best_match(
             prev = cur
         return prev[-1]
 
-    def _score_pair(gen_toks, gt_toks) -> tuple[float, float, float]:
-        g1, t1 = _counts(gen_toks), _counts(gt_toks)
+    # The scorer runs over a CROSS join, so each distinct text recurs
+    # once per opposite-side row (~10^3 times at sf0.1): memoize the
+    # per-text work (tokenize + Porter stem + unigram/bigram counts)
+    # per worker. Bounded: cleared past 64k texts (pairs arrive
+    # grouped, so eviction never thrashes within a batch). This took
+    # the sf0.1 gate from 34.5 s to per-pair LCS cost only.
+    _prep_cache: dict = {}
+
+    def _prep(text: str):
+        r = _prep_cache.get(text)
+        if r is None:
+            toks = _toks(text)
+            bi = list(zip(toks, toks[1:]))
+            r = (toks, _counts(toks), len(toks), _counts(bi), len(bi))
+            if len(_prep_cache) > 65536:
+                _prep_cache.clear()
+            _prep_cache[text] = r
+        return r
+
+    def _score_pair(gen_text: str, gt_text: str) -> tuple[float, float, float]:
+        gen_toks, g1, n_g, g2, n_g2 = _prep(gen_text)
+        gt_toks, t1, n_t, t2, n_t2 = _prep(gt_text)
         ov1 = sum(min(c, t1.get(k, 0)) for k, c in g1.items())
-        gen2 = list(zip(gen_toks, gen_toks[1:]))
-        gt2 = list(zip(gt_toks, gt_toks[1:]))
-        g2, t2 = _counts(gen2), _counts(gt2)
         ov2 = sum(min(c, t2.get(k, 0)) for k, c in g2.items())
         return (
-            _f(ov1, len(gen_toks), len(gt_toks)),
-            _f(ov2, len(gen2), len(gt2)),
-            _f(_lcs(gen_toks, gt_toks), len(gen_toks), len(gt_toks)),
+            _f(ov1, n_g, n_t),
+            _f(ov2, n_g2, n_t2),
+            _f(_lcs(gen_toks, gt_toks), n_g, n_t),
         )
 
     out_type = StructType([
@@ -359,8 +376,7 @@ def rouge_best_match(
     @F.pandas_udf(out_type)
     def _score(gen_text: pd.Series, gt_text: pd.Series) -> pd.DataFrame:
         rows = [
-            _score_pair(_toks(g), _toks(t))
-            for g, t in zip(gen_text, gt_text)
+            _score_pair(g, t) for g, t in zip(gen_text, gt_text)
         ]
         return pd.DataFrame(rows, columns=["rouge1", "rouge2", "rougeL"])
 
