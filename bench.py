@@ -121,6 +121,7 @@ def main() -> None:
         "dedup_simhash",
         "dedup_duplicate_spans",
         "dedup_span_removal",
+        "dedup_duplicate_spans_incremental",
         "dedup_ngram_jaccard",
         "dedup_embedding_neardup",
         "ann_topk_bruteforce",

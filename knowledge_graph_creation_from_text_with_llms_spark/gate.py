@@ -215,7 +215,7 @@ def _q(name: str, oracle: str | None = None):
 
 # -- incremental-dedup prior-index cache ------------------------------------
 #
-# The three incremental gates probe a SNAPSHOTTED prior index; in
+# The incremental gates probe a SNAPSHOTTED prior index; in
 # production the index is built once and appended to per delta, so the
 # operating cost is the probe, not the build. Memoizing the
 # checkpointed index per (kind, sf_dir, Spark application) lets
@@ -247,7 +247,7 @@ def _incr_index(spark: SparkSession, sf_dir: str, kind: str, build):
 
 
 def warm_incremental_indexes(spark: SparkSession, sf_dir: str) -> int:
-    """Build (and cache) all three incremental prior indexes; returns
+    """Build (and cache) all four incremental prior indexes; returns
     the number built. bench.py times this as
     `dedup_incremental_index_build`."""
     built = 0
@@ -255,6 +255,7 @@ def warm_incremental_indexes(spark: SparkSession, sf_dir: str) -> int:
         "dedup_minhash_lsh_incremental",
         "dedup_ngram_jaccard_incremental",
         "dedup_embedding_neardup_incremental",
+        "dedup_duplicate_spans_incremental",
     ):
         QUERIES[name](spark, sf_dir)  # builds + caches via _incr_index
         built += 1
@@ -1005,54 +1006,12 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # -- 12c. duplicated token spans ---------------------------------------------------
 
-@_q(
-    "dedup_duplicate_spans",
-    f"""
-WITH t AS (SELECT doc_id, {TOK} AS w FROM documents),
-g AS (
-  SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS gh
-  FROM t, unnest(range(1, len(w) - 6)) AS u(i)
-  WHERE len(w) >= 8
-),
-d AS (
-  -- cross-doc test without a doc-id set: total occurrences of the
-  -- gram exceed the occurrences in THIS row's doc; hot (boilerplate)
-  -- grams above the cap are dropped, mirroring the Spark twin
-  SELECT doc_id, pos FROM g
-  QUALIFY count(*) OVER (PARTITION BY gh)
-            > count(*) OVER (PARTITION BY gh, doc_id)
-     AND count(*) OVER (PARTITION BY gh) <= 1000
-),
-flags AS (
-  SELECT doc_id, pos,
-         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
-              THEN 0 ELSE 1 END AS new_island
-  FROM d
-),
-islands AS (
-  SELECT doc_id, pos,
-         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-  FROM flags
-)
-SELECT doc_id,
-       CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + 8 AS BIGINT) AS span_end,
-       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens,
-       CAST(count(*) AS BIGINT) AS n_grams
-FROM islands GROUP BY doc_id, island
-""",
-)
-def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-level exact dedup (Lee et al. 2022): maximal token spans
-    whose 8-grams recur verbatim in another document — the spans a
-    training pipeline cuts instead of dropping the whole doc."""
-    return dedup.duplicate_spans(_docs(spark, sf_dir), k=8)
-
-
-@_q(
-    "dedup_span_removal",
-    f"""
-WITH t AS (SELECT doc_id, {TOK} AS w FROM documents),
+# shared by the three span gates: detection, removal, incremental.
+# cross-doc test without a doc-id set (total occurrences of the gram
+# exceed the occurrences in THIS row's doc); hot boilerplate grams
+# above the cap dropped, mirroring the Spark twin.
+_SQL_SPANS = f"""
+t AS (SELECT doc_id, {TOK} AS w FROM documents),
 g AS (
   SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i:i+7], ' ')) AS gh
   FROM t, unnest(range(1, len(w) - 6)) AS u(i)
@@ -1076,9 +1035,69 @@ islands AS (
   FROM flags
 ),
 spans AS (
-  SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+  SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + 8 AS BIGINT) AS span_end,
+         CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_grams
   FROM islands GROUP BY doc_id, island
-),
+)"""
+
+
+@_q(
+    "dedup_duplicate_spans",
+    f"""
+WITH {_SQL_SPANS.lstrip()}
+SELECT doc_id, span_start, span_end, n_tokens, n_grams FROM spans
+""",
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (Lee et al. 2022): maximal token spans
+    whose 8-grams recur verbatim in another document — the spans a
+    training pipeline cuts instead of dropping the whole doc."""
+    return dedup.duplicate_spans(_docs(spark, sf_dir), k=8)
+
+
+@_q(
+    "dedup_duplicate_spans_incremental",
+    f"""
+WITH {_SQL_SPANS.lstrip()},
+delta AS (SELECT doc_id FROM documents WHERE doc_id % 9 = 0),
+dgrams AS (SELECT DISTINCT gh FROM g JOIN delta USING (doc_id)),
+aff AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN dgrams USING (gh)
+  UNION
+  SELECT doc_id FROM delta
+)
+SELECT s.doc_id, s.span_start, s.span_end, s.n_tokens, s.n_grams
+FROM spans s JOIN aff USING (doc_id)
+""",
+)
+def dedup_duplicate_spans_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta (doc_id % 9 = 0) probed against the prior corpus's
+    snapshotted gram-position index: must equal the full run's spans
+    for every affected doc (delta docs + prior docs sharing a k-gram
+    with the delta) — which is exactly what the oracle computes from
+    the full corpus, so the affected-set argument is hash-verified,
+    not just pytest-asserted."""
+    docs = _docs(spark, sf_dir)
+    delta = docs.where(F.col("doc_id") % 9 == 0)
+
+    def _build():
+        prior = docs.where(F.col("doc_id") % 9 != 0)
+        return dedup.span_gram_index(prior, k=8).localCheckpoint(eager=True)
+
+    idx = _incr_index(spark, sf_dir, "span_gram", _build)
+    spans, _ = dedup.duplicate_spans_incremental(delta, idx, k=8)
+    return spans
+
+
+@_q(
+    "dedup_span_removal",
+    f"""
+WITH {_SQL_SPANS.lstrip()},
 toks AS (
   SELECT doc_id, i - 1 AS pos, w[i] AS tok
   FROM t, unnest(range(1, len(w) + 1)) AS u(i)

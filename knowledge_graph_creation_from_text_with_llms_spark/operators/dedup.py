@@ -903,19 +903,7 @@ def duplicate_spans(
       (doc_id, island) reuses it.
     Total: two data-scale exchanges, no join, no driver traffic.
     """
-    toks = tokens_expr(text_col)
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("w")).where(
-        F.size("w") >= k
-    )
-    grams = base.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - F.lit(k - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, k))),
-            )
-        ).alias("pos", "gram_md5"),
-    )
+    grams = span_gram_index(docs, id_col, text_col, k)
     w_gram = Window.partitionBy("gram_md5")
     w_gram_doc = Window.partitionBy("gram_md5", "doc_id")
     dup_pos = (
@@ -927,6 +915,41 @@ def duplicate_spans(
         )
         .select("doc_id", "pos")
     )
+    return _span_islands(dup_pos, k, min_span_tokens)
+
+
+def span_gram_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(doc_id, pos, gram_md5) — one row per k-gram occurrence, the
+    map-side front of `duplicate_spans` and the persistable index its
+    incremental twin probes (store it partitioned/bucketed by
+    gram_md5 with a doc_id-sorted secondary layout at real scale; the
+    probe touches it via gram-key and doc-key semi-joins only, so both
+    access paths want pushdown)."""
+    toks = tokens_expr(text_col)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("w")).where(
+        F.size("w") >= k
+    )
+    return base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.lit(k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, k))),
+            )
+        ).alias("pos", "gram_md5"),
+    )
+
+
+def _span_islands(
+    dup_pos: DataFrame, k: int, min_span_tokens: int | None
+) -> DataFrame:
+    """(doc_id, pos) duplicated gram positions → maximal spans (gap
+    tolerance k) on one doc_id exchange; the final groupBy reuses it."""
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         dup_pos.withColumn(
@@ -954,6 +977,83 @@ def duplicate_spans(
     if min_span_tokens is not None:
         spans = spans.where(F.col("n_tokens") >= min_span_tokens)
     return spans
+
+
+def duplicate_spans_incremental(
+    new_docs: DataFrame,
+    prior_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_occurrences: int = 1000,
+    min_span_tokens: int | None = None,
+    max_broadcast_keys: int = 1_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental span-level dedup: re-derive spans ONLY for the
+    documents a delta can affect, probing the snapshotted
+    `span_gram_index` — the prior corpus is never re-tokenized.
+    Returns (spans, delta_index); append delta_index to the snapshot
+    to fold the delta in for the next run.
+
+    Affected set: the delta docs plus every prior doc sharing at
+    least one k-gram with a delta doc. No other doc's duplication
+    status can change — a gram absent from the delta keeps its exact
+    occurrence counts, so every (gram, doc) dup test outside the
+    affected set is unchanged (this includes cap flips: only grams
+    the delta pushed over `max_gram_occurrences` flip, and every doc
+    holding such a gram shares it with the delta by definition).
+    Output contract: exactly the full-run `duplicate_spans` rows for
+    the affected docs (hash-verified by the gate; equality with the
+    batch operator pinned in tests).
+
+    Scale shape: delta grams are map-side; the prior index is touched
+    through (a) one gram-key semi-join bounded by the delta's gram
+    vocabulary (broadcast when the delta is provably small —
+    `max_broadcast_keys`, counted on the DELTA, the same guard as
+    minhash_lsh_pairs_incremental — else shuffle), (b) one doc-key
+    semi-join bounded by the affected docs, and (c) one occurrence
+    count aggregated over the posting lists of the affected docs'
+    grams (semi-join-bounded; global counts, NOT per-affected-doc
+    counts, so unaffected occurrences of a shared gram still count).
+    The dup test then joins counts back on gram_md5 and the
+    (gram, doc) occurrence window rides that same exchange; islands
+    are one doc exchange, as in the batch plan.
+    """
+    delta_index = span_gram_index(new_docs, id_col, text_col, k)
+    delta_keys = delta_index.select("gram_md5").distinct()
+    # delta-bounded count; occurrences upper-bound the distinct keys
+    if delta_index.count() <= max_broadcast_keys:
+        delta_keys = F.broadcast(delta_keys)
+    affected = (
+        prior_index.join(delta_keys, "gram_md5", "leftsemi")
+        .select("doc_id")
+        .unionByName(delta_index.select("doc_id"))
+        .distinct()
+    )
+    all_pos = prior_index.unionByName(delta_index)
+    pos_aff = all_pos.join(affected, "doc_id", "leftsemi")
+    # global occurrence totals for every gram an affected doc holds:
+    # aggregated over the FULL position table, semi-join-bounded to
+    # those grams (a gram shared with an unaffected doc must still
+    # count its unaffected occurrences)
+    counts = (
+        all_pos.join(
+            pos_aff.select("gram_md5").distinct(), "gram_md5", "leftsemi"
+        )
+        .groupBy("gram_md5")
+        .agg(F.count(F.lit(1)).alias("occ_total"))
+    )
+    w_gram_doc = Window.partitionBy("gram_md5", "doc_id")
+    dup_pos = (
+        pos_aff.join(counts, "gram_md5")
+        .withColumn("occ_doc", F.count(F.lit(1)).over(w_gram_doc))
+        .where(
+            (F.col("occ_total") > F.col("occ_doc"))
+            & (F.col("occ_total") <= max_gram_occurrences)
+        )
+        .select("doc_id", "pos")
+    )
+    return _span_islands(dup_pos, k, min_span_tokens), delta_index
 
 
 def remove_spans(

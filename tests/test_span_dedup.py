@@ -142,3 +142,80 @@ def test_remove_spans_caller_policy_filter_respected(spark):
     out = {r.doc_id: r for r in dedup.remove_spans(docs, spans).collect()}
     assert out[1].n_tokens_removed == 0 and out[1].n_tokens == 10
     assert out[2].n_tokens == 0
+
+
+def test_incremental_equals_batch_on_affected_docs(spark):
+    """The incremental probe must emit exactly the full-run spans for
+    the affected set (delta docs + prior docs sharing a k-gram with
+    the delta), across two fold rounds — the index append contract."""
+    from pyspark.sql import functions as F
+
+    run2 = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    rows = [
+        (1, f"prior one {SHARED10} prior tail"),
+        (2, f"prior two {SHARED10} other tail"),
+        (3, f"prior three {run2} quiet end"),
+        (4, "prior four nothing shared here at all in any way"),
+        (10, f"delta one {run2} arrives now"),      # round-1 delta
+        (11, f"delta two {SHARED10} also arrives"),  # round-2 delta
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prior0 = docs.where(F.col("doc_id").isin(1, 2, 3, 4))
+    idx = dedup.span_gram_index(prior0).localCheckpoint(eager=True)
+
+    def batch_affected(corpus, delta):
+        full = dedup.duplicate_spans(corpus)
+        dk = dedup.span_gram_index(delta).select("gram_md5").distinct()
+        aff = (
+            dedup.span_gram_index(corpus)
+            .join(dk, "gram_md5", "leftsemi")
+            .select("doc_id")
+            .unionByName(delta.select("doc_id"))
+            .distinct()
+        )
+        return {tuple(r) for r in full.join(aff, "doc_id", "leftsemi").collect()}
+
+    for delta_id, corpus_ids in ((10, [1, 2, 3, 4, 10]), (11, [1, 2, 3, 4, 10, 11])):
+        delta = docs.where(F.col("doc_id") == delta_id)
+        spans, dix = dedup.duplicate_spans_incremental(delta, idx)
+        got = {tuple(r) for r in spans.collect()}
+        corpus = docs.where(F.col("doc_id").isin(corpus_ids))
+        assert got == batch_affected(corpus, delta), delta_id
+        idx = idx.unionByName(dix).localCheckpoint(eager=True)  # fold in
+
+
+def test_incremental_untouched_prior_doc_not_recomputed_or_emitted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, f"prior a {SHARED10} x"),
+            (2, f"prior b {SHARED10} y"),
+            (10, "delta shares absolutely nothing with the prior corpus today"),
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    prior = docs.where(F.col("doc_id") < 10)
+    idx = dedup.span_gram_index(prior).localCheckpoint(eager=True)
+    spans, _ = dedup.duplicate_spans_incremental(
+        docs.where(F.col("doc_id") == 10), idx
+    )
+    # docs 1/2 still hold duplicated spans in the full corpus, but the
+    # delta cannot affect them: the probe must not emit (or pay for) them
+    assert spans.count() == 0
+
+
+def test_incremental_plan_no_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, f"a {SHARED10}"), (10, f"b {SHARED10}")], "doc_id long, text string"
+    )
+    idx = dedup.span_gram_index(docs.where(F.col("doc_id") == 1))
+    spans, _ = dedup.duplicate_spans_incremental(
+        docs.where(F.col("doc_id") == 10), idx
+    )
+    spans.collect()
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
