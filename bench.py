@@ -119,9 +119,6 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "dedup_duplicate_spans",
-        "dedup_span_removal",
-        "dedup_duplicate_spans_incremental",
         "dedup_ngram_jaccard",
         "dedup_embedding_neardup",
         "ann_topk_bruteforce",
@@ -185,13 +182,17 @@ def main() -> None:
         "corpus_sample",
         "events_json_props",
         "events_user_gaps",
+        # round-5 additions: the span-level dedup family
+        "dedup_duplicate_spans",
+        "dedup_span_removal",
+        "dedup_duplicate_spans_incremental",
     ]
     spreads: dict[str, list[float]] = {"kg_pipeline_e2e": [round(s, 3) for s in e2e_secs]}
 
     # Build/probe split for the incremental dedup gates (round-4
     # VERDICT item): the prior index is built once per corpus in
     # production and appended to per delta, so the operating cost is
-    # the probe. Time the three index builds as their own entry
+    # the probe. Time the index builds as their own entry
     # (cache cleared per trial); the incremental gate timings below
     # then hit the warm cache and measure probe-only — previously the
     # fused number overstated the operating cost ~6×.

@@ -1116,7 +1116,8 @@ kept AS (
 SELECT t.doc_id,
        coalesce(k.clean_text, '') AS clean_text,
        CAST(coalesce(k.n_tokens, 0) AS BIGINT) AS n_tokens,
-       CAST(len(t.w) - coalesce(k.n_tokens, 0) AS BIGINT) AS n_tokens_removed
+       CAST(coalesce(len(t.w), 0) - coalesce(k.n_tokens, 0) AS BIGINT)
+         AS n_tokens_removed
 FROM t LEFT JOIN (
   SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
          count(*) AS n_tokens

@@ -995,6 +995,13 @@ def duplicate_spans_incremental(
     Returns (spans, delta_index); append delta_index to the snapshot
     to fold the delta in for the next run.
 
+    PRECONDITION (same as every incremental twin here): `new_docs`
+    holds doc_ids NOT present in the prior index — the delta is new
+    documents, not re-ingestions. A re-submitted doc_id would union
+    its old and new gram positions and silently inflate occurrence
+    counts; route document UPDATES through a full re-run (or drop the
+    old doc's index rows first).
+
     Affected set: the delta docs plus every prior doc sharing at
     least one k-gram with a delta doc. No other doc's duplication
     status can change — a gram absent from the delta keeps its exact
@@ -1019,7 +1026,13 @@ def duplicate_spans_incremental(
     (gram, doc) occurrence window rides that same exchange; islands
     are one doc exchange, as in the batch plan.
     """
-    delta_index = span_gram_index(new_docs, id_col, text_col, k)
+    # materialize the delta's gram index ONCE (delta-bounded): it is
+    # reused by the key probe, the affected-doc union, and all_pos —
+    # and the count below then prices the broadcast decision without
+    # a second tokenize+explode job
+    delta_index = span_gram_index(
+        new_docs, id_col, text_col, k
+    ).localCheckpoint(eager=True)
     delta_keys = delta_index.select("gram_md5").distinct()
     # delta-bounded count; occurrences upper-bound the distinct keys
     if delta_index.count() <= max_broadcast_keys:
@@ -1085,7 +1098,12 @@ def remove_spans(
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
-    toks = tokens_expr(text_col)
+    # NULL text → empty token stream (not NULL): without the coalesce
+    # a NULL-text row emits NULL sizes and diverges from the oracle's
+    # 0-token accounting
+    toks = F.coalesce(
+        tokens_expr(text_col), F.array().cast("array<string>")
+    )
     joined = docs.select(F.col(id_col).alias("doc_id"), toks.alias("w")).join(
         per_doc, "doc_id", "left"
     )

@@ -23,7 +23,12 @@ REPO = os.path.dirname(HERE)
 
 
 def run_paired_trials(
-    n_lo: int, n_hi: int, replication: int, sf_dir: str, trials: int
+    n_lo: int,
+    n_hi: int,
+    replication: int,
+    sf_dir: str,
+    trials: int,
+    initial_ceiling: float | None = None,
 ) -> tuple[dict, dict, list[float], list[dict]]:
     """Interleaved PAIRED trials: each pair runs N and 4N back-to-back
     (alternating order), and efficiency is the median of per-pair
@@ -46,9 +51,16 @@ def run_paired_trials(
     lo_runs: list[dict] = []
     hi_runs: list[dict] = []
     pairs: list[dict] = []
+    raw_effs: list[float] = []
     for i in range(trials):
         order = (n_lo, n_hi) if i % 2 == 0 else (n_hi, n_lo)
-        ceiling = probe_ceiling(n_lo, n_hi, order)
+        if i == 0 and initial_ceiling is not None:
+            # the start gate just probed this exact pair in this exact
+            # order — reuse its reading instead of burning another
+            # pinned-JVM probe pair minutes before any engine run
+            ceiling = initial_ceiling
+        else:
+            ceiling = probe_ceiling(n_lo, n_hi, order)
         got = {}
         for cpus in order:
             got[cpus] = run_child(cpus, replication, sf_dir)
@@ -57,6 +69,7 @@ def run_paired_trials(
         eff = (
             got[n_hi]["triples_per_sec"] / got[n_lo]["triples_per_sec"]
         ) / (n_hi / n_lo)
+        raw_effs.append(eff)
         pairs.append(
             {
                 "eff": round(eff, 3),
@@ -72,8 +85,9 @@ def run_paired_trials(
         med["all_walls"] = [r["wall_sec"] for r in s]
         return med
 
-    effs = sorted(p["eff"] for p in pairs)
-    return _med(lo_runs), _med(hi_runs), effs, pairs
+    # raw (unrounded) efficiencies: the >=0.8 criterion must not pass
+    # on a 0.7996-rounds-to-0.800 artifact; rounding is display-only
+    return _med(lo_runs), _med(hi_runs), sorted(raw_effs), pairs
 
 
 def run_child(cpus: int, replication: int, sf_dir: str) -> dict:
@@ -147,8 +161,10 @@ def main() -> None:
     trials = int(os.environ.get("KG_SCALE_TRIALS", "3"))
     n_hi = 4 * n_lo
     ceiling, skipped = wait_for_clear_window(n_lo, n_hi)
+    min_c = float(os.environ.get("KG_SCALE_MIN_CEILING", "0.85"))
     lo, hi, effs, pairs = run_paired_trials(
-        n_lo, n_hi, replication, sf_dir, trials
+        n_lo, n_hi, replication, sf_dir, trials,
+        initial_ceiling=ceiling if min_c > 0 else None,
     )
     eff = effs[len(effs) // 2]  # median of per-pair ratios (drift-robust)
     ratios = sorted(

@@ -219,3 +219,14 @@ def test_incremental_plan_no_cartesian(spark):
     plan = spans._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remove_spans_null_text_counts_as_zero_tokens(spark):
+    """NULL text must read as an empty token stream (0/0), not NULL
+    sizes — the oracle's accounting for the same row."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, SHARED10), (3, SHARED10)], "doc_id long, text string"
+    )
+    spans = dedup.duplicate_spans(docs, k=8)
+    out = {r.doc_id: r for r in dedup.remove_spans(docs, spans).collect()}
+    assert (out[1].clean_text, out[1].n_tokens, out[1].n_tokens_removed) == ("", 0, 0)
