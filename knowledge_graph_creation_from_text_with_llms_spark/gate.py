@@ -988,13 +988,19 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     delta = docs.where(F.col("doc_id") % 7 == 0)
 
     def _build():
+        # one tokenize+shingle pass: materialize the shingle table,
+        # then derive the band signatures FROM it (identical mins over
+        # distinct arrays) instead of re-tokenizing for each table
         prior = docs.where(F.col("doc_id") % 7 != 0)
+        sh = prior.select(
+            F.col("doc_id"),
+            F.array_distinct(word_shingles_expr("text", 3)).alias("_sh"),
+        ).localCheckpoint(eager=True)
         return (
-            dedup.minhash_band_keys(prior).localCheckpoint(eager=True),
-            prior.select(
-                F.col("doc_id"),
-                F.array_distinct(word_shingles_expr("text", 3)).alias("_sh"),
-            ).localCheckpoint(eager=True),
+            dedup.minhash_band_keys(sh, shingles_col="_sh").localCheckpoint(
+                eager=True
+            ),
+            sh,
         )
 
     prior_bands, prior_sh = _incr_index(spark, sf_dir, "minhash", _build)
@@ -1205,14 +1211,12 @@ def dedup_ngram_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFra
 
     def _build():
         # checkpoint the index once — the realistic shape (a snapshot
-        # read from disk); without it the probe DAG re-shingles the
-        # prior corpus for each of the index's several uses (same
-        # reasoning as kg_khop's edge-list checkpoint)
+        # read from disk); materialize=True stages the checkpoints so
+        # the prior corpus is tokenized and shingled exactly once
+        # (checkpointing the three lazy outputs separately paid three
+        # full shingle passes)
         prior = docs.where(F.col("doc_id") % 7 != 0)
-        return tuple(
-            df.localCheckpoint(eager=True)
-            for df in dedup.ngram_index(prior, "source")
-        )
+        return dedup.ngram_index(prior, "source", materialize=True)
 
     posting, shingles, dfreq = _incr_index(spark, sf_dir, "ngram", _build)
     pairs, _, _, _ = dedup.ngram_jaccard_pairs_incremental(

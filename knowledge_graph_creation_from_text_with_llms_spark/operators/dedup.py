@@ -45,6 +45,7 @@ def minhash_band_keys(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """(id, band_id, band_key) — LSH bucketing keys. band_key is the
     concat of rows_per_band adjacent minhash signatures.
@@ -53,16 +54,35 @@ def minhash_band_keys(
     non-overlapping 32-bit slice of a keyed md5 is an independent
     uniform hash, so num_hashes signatures cost ceil(num_hashes/4)
     digests per shingle instead of num_hashes — the digest work is the
-    dominant map-side cost of this operator."""
+    dominant map-side cost of this operator.
+
+    `shingles_col` (optional): use an already-computed shingle-array
+    column instead of re-tokenizing text — the index-build path
+    materializes the shingle table once and derives both the bands and
+    the verify-side arrays from it (signature mins are identical over
+    distinct or raw shingle arrays, so either form works).
+    """
     from ..functions.hashing import SLICES_PER_MD5, md5_group_expr, sliced_min_expr
 
+    # Empty-shingle docs must be dropped (their band_key would be the
+    # constant '' — one giant fake bucket). Filter on the CHEAP
+    # equivalent predicate (token count >= n ⟺ shingle set nonempty ⟺
+    # signature non-NULL) instead of the signature itself: a filter on
+    # the signature column is pushed below the projection (and below
+    # any upstream repartition), re-evaluating the whole tokenize→
+    # digest pipeline inside the predicate — interpreted, once per row,
+    # in whatever narrow parallelism the raw scan has.
+    if shingles_col is None:
+        eligible = docs.where(F.size(tokens_expr(text_col)) >= shingle_n)
+        sh_expr = word_shingles_expr(text_col, shingle_n)
+    else:
+        eligible = docs.where(F.size(F.col(shingles_col)) > 0)
+        sh_expr = F.col(shingles_col)
     # materialize the shingle array, then the md5 arrays, each ONCE —
     # referencing the builder expressions inside every signature would
     # re-run the tokenize/digest pipeline per signature (no CSE across
     # independent higher-order expressions; ~8x the scan cost)
-    with_sh = docs.select(
-        F.col(id_col), word_shingles_expr(text_col, shingle_n).alias("_sh")
-    )
+    with_sh = eligible.select(F.col(id_col), sh_expr.alias("_sh"))
     n_groups = (num_hashes + SLICES_PER_MD5 - 1) // SLICES_PER_MD5
     with_h = with_sh.select(
         F.col(id_col),
@@ -74,24 +94,30 @@ def minhash_band_keys(
         ).alias(f"_mh{i}")
         for i in range(num_hashes)
     ]
-    with_sigs = with_h.select(F.col(id_col), *sigs).where(
-        F.col("_mh0").isNotNull()
-    )
+    with_sigs = with_h.select(F.col(id_col), *sigs)
     bands = num_hashes // rows_per_band
-    parts = []
-    for b in range(bands):
-        key = F.concat_ws(
-            "|", *[F.col(f"_mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        parts.append(
-            with_sigs.select(
-                F.col(id_col), F.lit(b).alias("band_id"), key.alias("band_key")
+    # one row per (doc, band) via a single explode — a unionAll of
+    # per-band selects would re-evaluate the whole tokenize→shingle→
+    # digest subtree once PER BAND (union branches share no work),
+    # quadrupling the dominant map-side cost at the default 4 bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"_mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+            for b in range(bands)
+        ]
+    )
+    return with_sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("_bk")
+    ).select(F.col(id_col), F.col("_bk.band_id"), F.col("_bk.band_key"))
 
 
 def lsh_hot_buckets(
@@ -138,6 +164,52 @@ def minhash_lsh_pairs(
     excluded.
     """
     bands = minhash_band_keys(docs, id_col, text_col, num_hashes, rows_per_band, shingle_n)
+    # materialize the (small) candidate set once: it feeds both the
+    # verify join and the candidate-id prune below, and without the
+    # checkpoint each use would re-run the signature pipeline
+    cand = _minhash_candidates(bands, id_col, max_bucket_size).localCheckpoint(
+        eager=True
+    )
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles_expr(text_col, shingle_n)).alias("_sh"),
+    )
+    # shingle only the docs that appear in some candidate pair: the
+    # verify join is inner on the candidate ids, so pre-filtering is
+    # result-identical and skips re-tokenizing the whole corpus twice.
+    # Broadcast only when the candidate set is provably small (counted
+    # on the checkpointed candidates — no extra computation); an
+    # extreme candidate set falls back to the full-corpus verify join.
+    if cand.count() * 2 <= _MAX_VERIFY_BROADCAST_IDS:
+        ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionAll(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(ids), id_col, "leftsemi")
+    j = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sa", "_sb"))
+            / F.size(F.array_union("_sa", "_sb")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.col("jaccard"))
+    )
+    return j
+
+
+_MAX_VERIFY_BROADCAST_IDS = 4_000_000  # ids; ~32 MB of longs broadcast
+
+
+def _minhash_candidates(
+    bands: DataFrame, id_col: str, max_bucket_size: int | None
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs from shared LSH bands — the lazy
+    plan `minhash_lsh_pairs` checkpoints (plan shape pinned in
+    tests/test_plans.py)."""
     if max_bucket_size is None:
         # Uncapped mode: generate pairs with the band self-join, which
         # spreads a d-doc hot bucket's d² candidates across tasks. The
@@ -195,22 +267,7 @@ def minhash_lsh_pairs(
             .select(F.col("_p.id_a"), F.col("_p.id_b"))
             .distinct()
         )
-    sh = docs.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles_expr(text_col, shingle_n)).alias("_sh"),
-    )
-    j = (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("_sa", "_sb"))
-            / F.size(F.array_union("_sa", "_sb")),
-        )
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.col("jaccard"))
-    )
-    return j
+    return cand
 
 
 def simhash16(
@@ -264,11 +321,15 @@ def ngram_jaccard_pairs(
     join (see inline comment for the exactness argument)."""
     from pyspark.sql import Window
 
-    sh = docs.select(
+    # filter on the cheap token-count predicate, not on size(_sh): a
+    # filter referencing the computed shingle column is pushed below
+    # the projection and re-evaluates the whole shingle pipeline inside
+    # the predicate (interpreted, and below any upstream repartition)
+    sh = docs.where(F.size(tokens_expr(text_col)) >= shingle_n).select(
         F.col(block_col).alias("_blk"),
         F.col(id_col),
         F.array_distinct(word_shingles_expr(text_col, shingle_n)).alias("_sh"),
-    ).where(F.size("_sh") > 0)
+    )
     # Prefix filtering (PPJoin-style, exact): order each doc's shingles
     # by a global rarity order (df asc, shingle asc) and index only the
     # first  n - ceil(t*n) + 1  of them. Theorem: if J(A,B) >= t then
@@ -284,21 +345,29 @@ def ngram_jaccard_pairs(
         "_blk", F.col(id_col), F.size("_sh").alias("_n"),
         F.explode("_sh").alias("_g"),
     )
-    dfreq = inv.groupBy("_blk", "_g").agg(F.count(F.lit(1)).alias("_df"))
+    # document frequency via a window over the (block, shingle)
+    # exchange instead of the earlier groupBy+join: the inverted index
+    # is scanned and shuffled ONCE (the groupBy+join form evaluated the
+    # tokenize→shingle→explode pipeline twice — once for the counts,
+    # once for the probe side — and shuffled both)
+    w_df = Window.partitionBy("_blk", "_g")
     w_rank = Window.partitionBy("_blk", id_col).orderBy("_df", "_g")
-    ranked = inv.join(dfreq, ["_blk", "_g"]).select(
-        "_blk",
-        F.col(id_col),
-        "_g",
-        F.row_number().over(w_rank).alias("_r"),
-        "_n",
+    ranked = inv.withColumn("_df", F.count(F.lit(1)).over(w_df)).withColumn(
+        "_r", F.row_number().over(w_rank)
     )
     # epsilon guards the float ceil from rounding t*n up past the exact
     # integer and shortening the prefix below the safe bound
     prefix_len = F.col("_n") - F.ceil(
         F.lit(threshold) * F.col("_n") - F.lit(1e-9)
     ) + F.lit(1)
-    prefix = ranked.where(F.col("_r") <= prefix_len)
+    # the prefix index feeds BOTH sides of the candidate self-join;
+    # materialize it once (it is a small fraction of the inverted
+    # index) instead of re-running the two windows per side
+    prefix = (
+        ranked.where(F.col("_r") <= prefix_len)
+        .select("_blk", F.col(id_col), "_g")
+        .localCheckpoint(eager=True)
+    )
     a = prefix.select("_blk", F.col(id_col).alias("id_a"), "_g")
     b = prefix.select("_blk", F.col(id_col).alias("id_b"), "_g")
     cand = (
@@ -306,8 +375,19 @@ def ngram_jaccard_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     full = sh.select(F.col(id_col), "_sh")
+    # shingle only docs that appear in a candidate pair (the verify
+    # join is inner on candidate ids, so this is result-identical);
+    # broadcast guard as in minhash_lsh_pairs
+    if cand.count() * 2 <= _MAX_VERIFY_BROADCAST_IDS:
+        ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionAll(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        full = full.join(F.broadcast(ids), id_col, "leftsemi")
     na, nb = F.size("_sa"), F.size("_sb")
     return (
         cand.join(
@@ -341,6 +421,7 @@ def ngram_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the reusable n-gram inverted index for a corpus — the
     snapshot `ngram_jaccard_pairs_incremental` probes so delta runs
@@ -353,16 +434,28 @@ def ngram_index(
     - df: (_blk, _g, _df) per-block document frequencies. Appending a
       delta's df rows keeps MULTIPLE rows per key; consumers re-sum —
       folding a delta in is an append, never a rewrite.
+
+    With `materialize=True` each table is localCheckpoint'ed, staged so
+    the corpus is tokenized and shingled exactly ONCE (posting and df
+    derive from the materialized shingle table) — the shape for an
+    index BUILD, where a caller checkpointing the three lazy outputs
+    separately would otherwise pay three full shingle passes.
     """
-    sh = docs.select(
+    sh = docs.where(F.size(tokens_expr(text_col)) >= shingle_n).select(
         F.col(block_col).alias("_blk"),
         F.col(id_col),
         F.array_distinct(word_shingles_expr(text_col, shingle_n)).alias("_sh"),
-    ).where(F.size("_sh") > 0)
+    )
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     posting = sh.select("_blk", F.col(id_col), F.explode("_sh").alias("_g"))
+    if materialize:
+        posting = posting.localCheckpoint(eager=True)
     dfreq = posting.groupBy("_blk", "_g").agg(
         F.count(F.lit(1)).cast("long").alias("_df")
     )
+    if materialize:
+        dfreq = dfreq.localCheckpoint(eager=True)
     return posting, sh.select(F.col(id_col), "_sh"), dfreq
 
 
@@ -376,6 +469,7 @@ def ngram_jaccard_pairs_incremental(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.3,
+    max_broadcast_keys: int = 1_000_000,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Incremental exact n-gram Jaccard: pairs touching the DELTA only,
     probed against a snapshotted inverted index — the prior corpus is
@@ -402,8 +496,29 @@ def ngram_jaccard_pairs_incremental(
     new_posting, new_shingles, new_df = ngram_index(
         new_docs, block_col, id_col, text_col, shingle_n
     )
+    # materialize the delta's posting rows ONCE: they feed the combined
+    # document frequencies, the per-doc counts, the ranked join, and
+    # the broadcast-pricing count below — each use would otherwise
+    # re-tokenize and re-shingle the delta
+    new_posting = new_posting.localCheckpoint(eager=True)
+    new_df = new_posting.groupBy("_blk", "_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    # the combined frequencies are only consumed through an inner join
+    # with the DELTA's posting rows, so only grams the delta holds
+    # matter: semi-join the prior df table down to those grams before
+    # aggregating it (result-identical; the full prior-vocabulary
+    # aggregation the earlier form ran scales with the CORPUS, not the
+    # delta). Broadcast the delta gram set when provably small —
+    # posting rows upper-bound distinct grams; counted on the
+    # checkpoint, so pricing costs no recomputation.
+    delta_small = new_posting.count() <= max_broadcast_keys
+    delta_grams = new_posting.select("_blk", "_g").distinct()
+    if delta_small:
+        delta_grams = F.broadcast(delta_grams)
     combined_df = (
-        prior_df.unionByName(new_df)
+        prior_df.join(delta_grams, ["_blk", "_g"], "leftsemi")
+        .unionByName(new_df)
         .groupBy("_blk", "_g")
         .agg(F.sum("_df").alias("_df"))
     )
@@ -425,7 +540,13 @@ def ngram_jaccard_pairs_incremental(
     prefix_len = F.col("_n") - F.ceil(
         F.lit(threshold) * F.col("_n") - F.lit(1e-9)
     ) + F.lit(1)
-    prefix = ranked.where(F.col("_r") <= prefix_len)
+    # the prefix feeds both sides of the delta×delta join AND the
+    # delta×prior probe; materialize it once (delta-bounded)
+    prefix = (
+        ranked.where(F.col("_r") <= prefix_len)
+        .select("_blk", F.col(id_col), "_g")
+        .localCheckpoint(eager=True)
+    )
     a = prefix.select("_blk", F.col(id_col).alias("id_a"), "_g")
     dd = (
         a.join(
@@ -435,9 +556,16 @@ def ngram_jaccard_pairs_incremental(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
+    # prune the prior posting lists map-side to the delta-prefix grams
+    # before the join shuffles them — the probe then moves
+    # delta-touched posting rows only, never the full prior index
+    prefix_grams = prefix.select("_blk", "_g").distinct()
+    if delta_small:
+        prefix_grams = F.broadcast(prefix_grams)
     dp = (
         a.join(
-            prior_posting.select("_blk", F.col(id_col).alias("id_b"), "_g"),
+            prior_posting.join(prefix_grams, ["_blk", "_g"], "leftsemi")
+            .select("_blk", F.col(id_col).alias("id_b"), "_g"),
             ["_blk", "_g"],
         )
         .where(F.col("id_a") != F.col("id_b"))
@@ -446,8 +574,17 @@ def ngram_jaccard_pairs_incremental(
             F.greatest("id_a", "id_b").alias("id_b"),
         )
     )
-    cand = dd.unionByName(dp).distinct()
+    cand = dd.unionByName(dp).distinct().localCheckpoint(eager=True)
     full = prior_shingles.unionByName(new_shingles)
+    # verify only docs referenced by a candidate pair (result-identical
+    # inner-join prune, broadcast-guarded as in the batch operator)
+    if cand.count() * 2 <= _MAX_VERIFY_BROADCAST_IDS:
+        ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionAll(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        full = full.join(F.broadcast(ids), id_col, "leftsemi")
     na, nb = F.size("_sa"), F.size("_sb")
     pairs = (
         cand.join(
@@ -492,24 +629,43 @@ def embedding_neardup_pairs(
     differs) but bounded: 2^bits buckets of ~|V|/2^bits rows each
     instead of the |V|² cross join a naive default would execute.
     """
-    from ..functions.vectors import cosine_expr
+    from ..functions.vectors import cosine_prenorm_expr, norm_expr
     from .similarity import hyperplane_bucket_expr
 
     if block_col:
         blk = F.col(block_col)
     else:
         blk = hyperplane_bucket_expr(F.col(emb_col), bits=auto_block_bits)
-    v = vectors.select(F.col(id_col), F.col(emb_col), blk.alias("_blk"))
+    # norms hoisted out of the pair stage: computed once per vector
+    # here, so each of the O(block²) pairs evaluates one O(dim) dot
+    # instead of three O(dim) folds (bit-identical — same op order)
+    v = vectors.select(
+        F.col(id_col),
+        F.col(emb_col),
+        blk.alias("_blk"),
+        norm_expr(F.col(emb_col)).alias("_nrm"),
+    )
     a = v.select(
-        F.col("_blk"), F.col(id_col).alias("id_a"), F.col(emb_col).alias("_ea")
+        F.col("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("_ea"),
+        F.col("_nrm").alias("_na"),
     )
     b = v.select(
-        F.col("_blk"), F.col(id_col).alias("id_b"), F.col(emb_col).alias("_eb")
+        F.col("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("_eb"),
+        F.col("_nrm").alias("_nb"),
     )
     return (
         a.join(b, "_blk")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_expr(F.col("_ea"), F.col("_eb")))
+        .withColumn(
+            "cos",
+            cosine_prenorm_expr(
+                F.col("_ea"), F.col("_eb"), F.col("_na"), F.col("_nb")
+            ),
+        )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.col("cos"))
     )
@@ -536,7 +692,7 @@ def embedding_neardup_pairs_incremental(
 
     Returns (pairs, new_index_rows).
     """
-    from ..functions.vectors import cosine_expr
+    from ..functions.vectors import cosine_prenorm_expr, norm_expr
     from .similarity import hyperplane_bucket_expr
 
     new_index = new_vectors.select(
@@ -546,16 +702,28 @@ def embedding_neardup_pairs_incremental(
             "_blk"
         ),
     )
+    # norms hoisted out of the pair stage (see embedding_neardup_pairs)
     d = new_index.select(
-        "_blk", F.col(id_col).alias("_ida"), F.col(emb_col).alias("_ea")
+        "_blk",
+        F.col(id_col).alias("_ida"),
+        F.col(emb_col).alias("_ea"),
+        norm_expr(F.col(emb_col)).alias("_na"),
     )
     u = new_index.unionByName(prior_index).select(
-        "_blk", F.col(id_col).alias("_idb"), F.col(emb_col).alias("_eb")
+        "_blk",
+        F.col(id_col).alias("_idb"),
+        F.col(emb_col).alias("_eb"),
+        norm_expr(F.col(emb_col)).alias("_nb"),
     )
     pairs = (
         d.join(u, "_blk")
         .where(F.col("_ida") != F.col("_idb"))
-        .withColumn("cos", cosine_expr(F.col("_ea"), F.col("_eb")))
+        .withColumn(
+            "cos",
+            cosine_prenorm_expr(
+                F.col("_ea"), F.col("_eb"), F.col("_na"), F.col("_nb")
+            ),
+        )
         .where(F.col("cos") >= threshold)
         .select(
             F.least("_ida", "_idb").alias("id_a"),
@@ -774,6 +942,58 @@ def minhash_lsh_pairs_incremental(
         "band_id", "band_key", F.col(id_col).alias("_id")
     ).withColumn("_new", F.lit(False))
     u = nb.unionByName(pb)
+    bands = max(1, num_hashes // rows_per_band)
+    # |delta_keys| <= |delta docs| x bands exactly (each doc emits one
+    # key per band); one delta-bounded count() decides whether the
+    # broadcast hint is safe, so an oversized delta degrades to a
+    # shuffle semi-join instead of OOMing the driver.
+    broadcast_delta_keys = (
+        max_bucket_size is not None
+        and new_docs.count() * bands <= max_broadcast_keys
+    )
+    cand = _minhash_incr_candidates(
+        nb, u, max_bucket_size, broadcast_delta_keys
+    )
+    # materialize the (small) candidate set once and verify only the
+    # docs it references — same result-identical prune as the batch
+    # operator (the verify join is inner on candidate ids)
+    cand = cand.localCheckpoint(eager=True)
+    all_sh = new_shingles.unionByName(prior_shingles)
+    if cand.count() * 2 <= _MAX_VERIFY_BROADCAST_IDS:
+        ids = (
+            cand.select(F.col("id_a").alias(id_col))
+            .unionAll(cand.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        all_sh = all_sh.join(F.broadcast(ids), id_col, "leftsemi")
+    j = (
+        cand.join(
+            all_sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            all_sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_sa", "_sb"))
+            / F.size(F.array_union("_sa", "_sb")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.col("jaccard"))
+    )
+    return j, new_bands, new_shingles
+
+
+def _minhash_incr_candidates(
+    nb: DataFrame,
+    u: DataFrame,
+    max_bucket_size: int | None,
+    broadcast_delta_keys: bool,
+) -> DataFrame:
+    """Lazy candidate pairs for the incremental probe (plan shape
+    pinned in tests); nb = delta band rows, u = delta ∪ prior."""
     if max_bucket_size is None:
         # Uncapped: delta × (prior ∪ delta) band join — covers
         # delta×prior and delta×delta collisions while spreading a hot
@@ -809,12 +1029,7 @@ def minhash_lsh_pairs_incremental(
         # shuffle. (Round 3's count-then-semi-join form scanned and
         # shuffled the full combined index twice.)
         delta_keys = nb.select("band_id", "band_key").distinct()
-        # |delta_keys| <= |delta docs| x bands exactly (each doc emits
-        # one key per band); one delta-bounded count() decides whether
-        # the broadcast hint is safe, so an oversized delta degrades to
-        # a shuffle semi-join instead of OOMing the driver.
-        bands = max(1, num_hashes // rows_per_band)
-        if new_docs.count() * bands <= max_broadcast_keys:
+        if broadcast_delta_keys:
             delta_keys = F.broadcast(delta_keys)
         touched = u.join(delta_keys, ["band_id", "band_key"], "semi")
         w = Window.partitionBy("band_id", "band_key")
@@ -845,25 +1060,7 @@ def minhash_lsh_pairs_incremental(
             .where(F.col("id_a") != F.col("id_b"))
             .distinct()
         )
-    all_sh = new_shingles.unionByName(prior_shingles)
-    j = (
-        cand.join(
-            all_sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")),
-            "id_a",
-        )
-        .join(
-            all_sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")),
-            "id_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("_sa", "_sb"))
-            / F.size(F.array_union("_sa", "_sb")),
-        )
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.col("jaccard"))
-    )
-    return j, new_bands, new_shingles
+    return cand
 
 
 def duplicate_spans(

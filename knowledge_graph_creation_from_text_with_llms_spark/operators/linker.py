@@ -68,17 +68,34 @@ def link_labels(
 ) -> DataFrame:
     """Attach out_col = linked id (or NULL) to every fact row.
 
-    distinct-labels-first: the ranked window runs on |distinct labels|
-    rows, not |facts| — the cache semantics of Matcher.py:55-56 made
-    shuffle-shaped. The result (small) is broadcast back onto facts.
+    The best candidate per surface form depends only on the dictionary
+    (min by (rank, id) among rows sharing the normalized alias key), so
+    the ranked window runs over the dictionary alone and the result is
+    broadcast onto facts in ONE left join. The facts subtree is neither
+    duplicated nor shuffled — the earlier distinct-labels-then-rejoin
+    form evaluated the facts pipeline twice per call (once under the
+    distinct, once as the join probe), which compounded per linked
+    column. Lookup-once-per-label cache semantics (Matcher.py:55-56)
+    are preserved: every fact row with the same label gets the same id.
     """
-    distinct_labels = facts.select(F.col(label_col)).distinct()
-    resolved = best_match_per_label(distinct_labels, dictionary, label_col, id_col)
-    return facts.join(
-        F.broadcast(resolved.withColumnRenamed(id_col, out_col)),
-        on=label_col,
-        how="left",
+    w = Window.partitionBy("_k").orderBy(
+        F.col("_rank").asc_nulls_last(), F.col(id_col).asc_nulls_last()
     )
+    resolved = (
+        dictionary.select(
+            F.lower(F.trim(F.col("alias"))).alias("_k"),
+            F.col("rank").alias("_rank"),
+            F.col(id_col),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_k", F.col(id_col).alias(out_col))
+    )
+    return facts.join(
+        F.broadcast(resolved),
+        F.lower(F.trim(F.col(label_col))) == F.col("_k"),
+        "left",
+    ).drop("_k")
 
 
 def rank_topk(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_expr
+from ..functions.vectors import cosine_expr, cosine_prenorm_expr, norm_expr  # noqa: F401 (cosine_expr re-exported for callers)
 
 
 def _partial_topk(scored: DataFrame, q_id: str, c_id: str, k: int) -> DataFrame:
@@ -75,13 +75,27 @@ def brute_force_topk(
     per-query window — the q_id shuffle carries |Q|·k·P rows instead
     of |Q|×|C| (set partial_reduce=False to keep the single-phase
     plan for tiny inputs)."""
-    joined = candidates.crossJoin(
-        F.broadcast(queries.select(F.col(q_id), F.col(q_emb)))
+    # norms hoisted out of the scored-pair stage: computed once per
+    # vector (query side before the broadcast, candidate side on the
+    # scan), so each of the |Q|x|C| pairs evaluates one O(dim) dot
+    # instead of three O(dim) folds — bit-identical (same op order)
+    cands = candidates.select(
+        F.col(c_id), F.col(c_emb), norm_expr(F.col(c_emb)).alias("_cn")
+    )
+    joined = cands.crossJoin(
+        F.broadcast(
+            queries.select(
+                F.col(q_id), F.col(q_emb), norm_expr(F.col(q_emb)).alias("_qn")
+            )
+        )
     )
     if not include_self:
         joined = joined.where(F.col(q_id) != F.col(c_id))
     scored = joined.withColumn(
-        "cos", cosine_expr(F.col(q_emb), F.col(c_emb))
+        "cos",
+        cosine_prenorm_expr(
+            F.col(q_emb), F.col(c_emb), F.col("_qn"), F.col("_cn")
+        ),
     ).select(q_id, c_id, "cos")
     if partial_reduce:
         scored = _partial_topk(scored, q_id, c_id, k)
@@ -138,20 +152,32 @@ def ivf_topk(
     candidate lives in exactly one bucket and probe codes are
     distinct, so no pair is scored twice — no dedup stage needed."""
     n_probes = max(1, min(n_probes, bits + 1))
-    cb = candidates.withColumn("_bkt", hyperplane_bucket_expr(F.col(c_emb), bits))
+    # norms hoisted out of the scored-pair stage (see brute_force_topk)
+    cb = candidates.select(
+        hyperplane_bucket_expr(F.col(c_emb), bits).alias("_bkt"),
+        F.col(c_id),
+        F.col(c_emb),
+        norm_expr(F.col(c_emb)).alias("_cn"),
+    )
     code = hyperplane_bucket_expr(F.col(q_emb), bits)
+    qs = queries.select(
+        F.col(q_id), F.col(q_emb), norm_expr(F.col(q_emb)).alias("_qn")
+    )
     if n_probes == 1:
-        qb = queries.withColumn("_bkt", code)
+        qb = qs.withColumn("_bkt", code)
     else:
         probes = F.array(
             code, *[code.bitwiseXOR(F.lit(2 ** b)) for b in range(bits)]
         )
-        qb = queries.withColumn(
+        qb = qs.withColumn(
             "_bkt", F.explode(F.slice(probes, 1, n_probes))
         )
     joined = cb.join(F.broadcast(qb), "_bkt").where(F.col(q_id) != F.col(c_id))
     scored = joined.withColumn(
-        "cos", cosine_expr(F.col(q_emb), F.col(c_emb))
+        "cos",
+        cosine_prenorm_expr(
+            F.col(q_emb), F.col(c_emb), F.col("_qn"), F.col("_cn")
+        ),
     ).select(q_id, c_id, "cos")
     if partial_reduce:
         scored = _partial_topk(scored, q_id, c_id, k)
@@ -235,9 +261,14 @@ def kmeans_centroids(
     all members keeps its previous centroid. Each iteration is one
     broadcast-assign (map + per-vector reduce) and one
     posexplode/groupBy mean — no driver-side data, no RNG."""
+    # materialize the quantized vectors once and cut each iteration's
+    # lineage: without the checkpoints the loop builds a plan in which
+    # iteration r re-evaluates every earlier iteration's assignment AND
+    # re-quantizes the corpus per reference — exponential plan growth
+    # for a 4-row centroid table
     q = vectors.select(
         F.col(id_col).alias("_vid"), quantize_expr(F.col(emb_col), scale).alias("_qe")
-    )
+    ).localCheckpoint(eager=True)
     w = Window.orderBy("_vid")
     centroids = (
         q.orderBy("_vid")
@@ -262,10 +293,11 @@ def kmeans_centroids(
                 ).alias("cvec")
             )
         )
-        centroids = centroids.alias("p").join(
-            updated.alias("u"), "cid", "left"
-        ).select(
-            "cid", F.coalesce("u.cvec", "p.cvec").alias("cvec")
+        centroids = (
+            centroids.alias("p")
+            .join(updated.alias("u"), "cid", "left")
+            .select("cid", F.coalesce("u.cvec", "p.cvec").alias("cvec"))
+            .localCheckpoint(eager=True)  # n_clusters rows
         )
     return centroids
 
@@ -313,11 +345,19 @@ def ivf_kmeans_topk(
         qa = _assign_topn_expr(
             qq, cents, min(n_probes, n_clusters)
         ).withColumnRenamed("_vid", q_id)
-    cb = candidates.join(ca, c_id)
-    qb = queries.join(qa, q_id)
+    # norms hoisted out of the scored-pair stage (see brute_force_topk)
+    cb = candidates.select(
+        F.col(c_id), F.col(c_emb), norm_expr(F.col(c_emb)).alias("_cn")
+    ).join(ca, c_id)
+    qb = queries.select(
+        F.col(q_id), F.col(q_emb), norm_expr(F.col(q_emb)).alias("_qn")
+    ).join(qa, q_id)
     joined = cb.join(F.broadcast(qb), "cid").where(F.col(q_id) != F.col(c_id))
     scored = joined.withColumn(
-        "cos", cosine_expr(F.col(q_emb), F.col(c_emb))
+        "cos",
+        cosine_prenorm_expr(
+            F.col(q_emb), F.col(c_emb), F.col("_qn"), F.col("_cn")
+        ),
     ).select(q_id, c_id, "cos")
     if partial_reduce:
         scored = _partial_topk(scored, q_id, c_id, k)

