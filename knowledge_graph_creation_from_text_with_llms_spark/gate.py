@@ -64,10 +64,13 @@ def _entity_dict(docs: DataFrame) -> DataFrame:
     """Broadcast alias dictionary derived deterministically from the
     corpus: tokens appearing in >= DICT_MIN_DF distinct docs, with
     md5-based Q-ids (FIXTURES.md §4 stand-in, rebuildable in SQL)."""
+    # _mentions rows are already distinct per (doc_id, token) (the
+    # explode is over array_distinct), so a plain count IS the distinct
+    # doc count — skips the two-phase distinct-aggregate plan
     df = (
         _mentions(docs)
         .groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= DICT_MIN_DF)
     )
     return df.select(
@@ -597,8 +600,16 @@ FROM c
 )
 def kg_metrics_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = _triples_raw(_docs(spark, sf_dir))
-    gen = tr.where(F.col("doc_id") % 2 == 0).select("subj", "pred", "obj")
-    gt = tr.where(F.col("doc_id") % 3 == 0).select("subj", "pred", "obj")
+    # one pass over the triples chain for BOTH eval sides (the gen/gt
+    # filters would otherwise re-derive the doc→bigram→group chain
+    # twice); same staging as kg_metrics_rougel_nostem
+    flagged = (
+        tr.where((F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 3 == 0))
+        .select("doc_id", "subj", "pred", "obj")
+        .localCheckpoint(eager=True)
+    )
+    gen = flagged.where(F.col("doc_id") % 2 == 0).select("subj", "pred", "obj")
+    gt = flagged.where(F.col("doc_id") % 3 == 0).select("subj", "pred", "obj")
     return metrics.strict_metrics(gen, gt)
 
 
@@ -648,15 +659,21 @@ def kg_metrics_relaxed(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserving counts) on raw bigram triples; the GT side has its
     subject/object swapped — position-independence finds them."""
     docs = _docs(spark, sf_dir)
-    pairs = docs.select(
-        "doc_id", F.explode(bigrams_expr("text")).alias("bg")
-    ).select(
-        "doc_id",
-        F.col("bg.subj").alias("subj"),
-        F.lit("precedes").alias("pred"),
-        F.col("bg.obj").alias("obj"),
+    # one pass over the doc→bigram chain for BOTH eval sides (%10 docs
+    # are a subset of %5 docs, so the flagged slice is just %5);
+    # relaxed_metrics references each side several times
+    pairs = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.explode(bigrams_expr("text")).alias("bg"))
+        .select(
+            "doc_id",
+            F.col("bg.subj").alias("subj"),
+            F.lit("precedes").alias("pred"),
+            F.col("bg.obj").alias("obj"),
+        )
+        .localCheckpoint(eager=True)
     )
-    gen = pairs.where(F.col("doc_id") % 5 == 0).select("subj", "pred", "obj")
+    gen = pairs.select("subj", "pred", "obj")
     gt = pairs.where(F.col("doc_id") % 10 == 0).select(
         F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
     )
@@ -847,9 +864,10 @@ def kg_topk_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     mentions = _mentions(docs)
+    # plain count == distinct doc count here (see _entity_dict)
     dict_base = (
         mentions.groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= DICT_MIN_DF)
     )
     property_dict = dict_base.select(

@@ -190,10 +190,12 @@ def minhash_lsh_pairs(
     j = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")), "id_b")
+        # |A∪B| = |A| + |B| - |A∩B| exactly (distinct arrays): the
+        # union array is never built — same integers, same double
+        .withColumn("_c", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("_sa", "_sb"))
-            / F.size(F.array_union("_sa", "_sb")),
+            F.col("_c") / (F.size("_sa") + F.size("_sb") - F.col("_c")),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.col("jaccard"))
@@ -362,19 +364,60 @@ def ngram_jaccard_pairs(
     ) + F.lit(1)
     # the prefix index feeds BOTH sides of the candidate self-join;
     # materialize it once (it is a small fraction of the inverted
-    # index) instead of re-running the two windows per side
+    # index) instead of re-running the two windows per side. Ranks and
+    # per-doc sizes ride along for the positional filter below.
     prefix = (
         ranked.where(F.col("_r") <= prefix_len)
-        .select("_blk", F.col(id_col), "_g")
+        .select("_blk", F.col(id_col), "_g", "_r", "_n")
         .localCheckpoint(eager=True)
     )
-    a = prefix.select("_blk", F.col(id_col).alias("id_a"), "_g")
-    b = prefix.select("_blk", F.col(id_col).alias("id_b"), "_g")
+    a = prefix.select(
+        "_blk",
+        F.col(id_col).alias("id_a"),
+        "_g",
+        F.col("_r").alias("_ra"),
+        F.col("_n").alias("_na"),
+    )
+    b = prefix.select(
+        "_blk",
+        F.col(id_col).alias("id_b"),
+        "_g",
+        F.col("_r").alias("_rb"),
+        F.col("_n").alias("_nb"),
+    )
     cand = (
         a.join(b, ["_blk", "_g"])
         .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("_ra").alias("_ra0"),
+            F.min("_rb").alias("_rb0"),
+            F.min("_na").alias("_na"),
+            F.min("_nb").alias("_nb"),
+        )
+        # PPJoin positional filter (exact): the smallest matched gram
+        # IS the globally smallest shared gram (both prefixes are
+        # sorted by the same (df, gram) order, so a smaller shared
+        # gram would itself sit in both prefixes and match). Every
+        # other shared gram ranks after it on both sides, so
+        # |A∩B| <= 1 + min(na - ra0, nb - rb0); J >= t needs
+        # |A∩B| >= t(na+nb)/(1+t). Pairs whose bound falls short can
+        # never qualify — dropped BEFORE the exact verify pays for
+        # their array intersections (epsilon keeps a borderline bound
+        # from being floored out: false keeps are fine, false drops
+        # are not).
+        .where(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("_na") - F.col("_ra0"), F.col("_nb") - F.col("_rb0")
+                )
+            ).cast("double")
+            >= F.lit(threshold / (1.0 + threshold))
+            * (F.col("_na") + F.col("_nb"))
+            - F.lit(1e-9)
+        )
         .select("id_a", "id_b")
-        .distinct()
         .localCheckpoint(eager=True)
     )
     full = sh.select(F.col(id_col), "_sh")
@@ -405,11 +448,10 @@ def ngram_jaccard_pairs(
             F.least(na, nb).cast("double")
             >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9)
         )
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("_sa", "_sb"))
-            / F.size(F.array_union("_sa", "_sb")),
-        )
+        # |A∪B| = na + nb - |A∩B| exactly (the arrays are distinct), so
+        # the union array is never built — same integers, same double
+        .withColumn("_c", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn("jaccard", F.col("_c") / (na + nb - F.col("_c")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.col("jaccard"))
     )
@@ -541,19 +583,53 @@ def ngram_jaccard_pairs_incremental(
         F.lit(threshold) * F.col("_n") - F.lit(1e-9)
     ) + F.lit(1)
     # the prefix feeds both sides of the delta×delta join AND the
-    # delta×prior probe; materialize it once (delta-bounded)
+    # delta×prior probe; materialize it once (delta-bounded). Ranks and
+    # sizes ride along for the delta×delta positional filter.
     prefix = (
         ranked.where(F.col("_r") <= prefix_len)
-        .select("_blk", F.col(id_col), "_g")
+        .select("_blk", F.col(id_col), "_g", "_r", "_n")
         .localCheckpoint(eager=True)
     )
-    a = prefix.select("_blk", F.col(id_col).alias("id_a"), "_g")
+    a = prefix.select(
+        "_blk",
+        F.col(id_col).alias("id_a"),
+        "_g",
+        F.col("_r").alias("_ra"),
+        F.col("_n").alias("_na"),
+    )
+    # delta×delta: same PPJoin positional filter as the batch operator
+    # (exact — see ngram_jaccard_pairs); delta×prior below has no
+    # prior-side ranks, so it keeps the plain pair join
     dd = (
         a.join(
-            prefix.select("_blk", F.col(id_col).alias("id_b"), "_g"),
+            prefix.select(
+                "_blk",
+                F.col(id_col).alias("id_b"),
+                "_g",
+                F.col("_r").alias("_rb"),
+                F.col("_n").alias("_nb"),
+            ),
             ["_blk", "_g"],
         )
         .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("_ra").alias("_ra0"),
+            F.min("_rb").alias("_rb0"),
+            F.min("_na").alias("_na"),
+            F.min("_nb").alias("_nb"),
+        )
+        .where(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("_na") - F.col("_ra0"), F.col("_nb") - F.col("_rb0")
+                )
+            ).cast("double")
+            >= F.lit(threshold / (1.0 + threshold))
+            * (F.col("_na") + F.col("_nb"))
+            - F.lit(1e-9)
+        )
         .select("id_a", "id_b")
     )
     # prune the prior posting lists map-side to the delta-prefix grams
@@ -599,10 +675,12 @@ def ngram_jaccard_pairs_incremental(
             F.least(na, nb).cast("double")
             >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9)
         )
+        # |A∪B| = |A| + |B| - |A∩B| exactly (distinct arrays): the
+        # union array is never built — same integers, same double
+        .withColumn("_c", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("_sa", "_sb"))
-            / F.size(F.array_union("_sa", "_sb")),
+            F.col("_c") / (F.size("_sa") + F.size("_sb") - F.col("_c")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.col("jaccard"))
@@ -975,10 +1053,12 @@ def minhash_lsh_pairs_incremental(
             all_sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")),
             "id_b",
         )
+        # |A∪B| = |A| + |B| - |A∩B| exactly (distinct arrays): the
+        # union array is never built — same integers, same double
+        .withColumn("_c", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("_sa", "_sb"))
-            / F.size(F.array_union("_sa", "_sb")),
+            F.col("_c") / (F.size("_sa") + F.size("_sb") - F.col("_c")),
         )
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.col("jaccard"))

@@ -27,6 +27,19 @@ _DEFAULTS = {
     # Stable shuffle width for the local harness; a real cluster run
     # overrides via spark-submit --conf (see bench.py / plans.pipeline).
     "spark.sql.shuffle.partitions": "32",
+    # InferFiltersFromGenerate turns every explode(computed_array) into
+    # an inferred `size(arr) > 0 AND isnotnull(arr)` predicate that
+    # predicate-pushdown then sinks below any repartition with the full
+    # array-building expression INLINED — the tokenize/shingle/digest
+    # pipeline re-evaluated interpreted inside a Filter, at the raw
+    # scan's parallelism, per inferred conjunct (measured: the ngram
+    # inverted-index explode went 53 s -> 5 s at sf1.0 with the rule
+    # off). The inferred filter only prunes rows whose explode emits
+    # nothing, so excluding it cannot change any result; this engine
+    # explodes computed arrays everywhere, so the rule is a pure loss.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }
