@@ -978,8 +978,14 @@ def minhash_lsh_pairs_incremental(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 500,
     max_broadcast_keys: int = 1_000_000,
+    delta_count: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental near-dup detection: pairs touching the DELTA only.
+
+    `delta_count` (optional): the caller's known |new_docs|; when
+    provided, the broadcast-pricing count() job on the delta is
+    skipped (round-5 advice: hot probe paths often already know the
+    delta size).
 
     The banded signature table IS a reusable LSH index: a corpus's
     `minhash_band_keys` output (and its distinct shingle sets) can be
@@ -1025,9 +1031,11 @@ def minhash_lsh_pairs_incremental(
     # key per band); one delta-bounded count() decides whether the
     # broadcast hint is safe, so an oversized delta degrades to a
     # shuffle semi-join instead of OOMing the driver.
+    if delta_count is None:
+        delta_count = new_docs.count()
     broadcast_delta_keys = (
         max_bucket_size is not None
-        and new_docs.count() * bands <= max_broadcast_keys
+        and delta_count * bands <= max_broadcast_keys
     )
     cand = _minhash_incr_candidates(
         nb, u, max_bucket_size, broadcast_delta_keys
@@ -1265,6 +1273,7 @@ def duplicate_spans_incremental(
     max_gram_occurrences: int = 1000,
     min_span_tokens: int | None = None,
     max_broadcast_keys: int = 1_000_000,
+    delta_gram_count: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental span-level dedup: re-derive spans ONLY for the
     documents a delta can affect, probing the snapshotted
@@ -1311,8 +1320,13 @@ def duplicate_spans_incremental(
         new_docs, id_col, text_col, k
     ).localCheckpoint(eager=True)
     delta_keys = delta_index.select("gram_md5").distinct()
-    # delta-bounded count; occurrences upper-bound the distinct keys
-    if delta_index.count() <= max_broadcast_keys:
+    # delta-bounded count; occurrences upper-bound the distinct keys.
+    # The count is over the just-checkpointed delta index (cheap); a
+    # caller who already knows its gram count can pass it to skip the
+    # job entirely (round-5 advice).
+    if delta_gram_count is None:
+        delta_gram_count = delta_index.count()
+    if delta_gram_count <= max_broadcast_keys:
         delta_keys = F.broadcast(delta_keys)
     affected = (
         prior_index.join(delta_keys, "gram_md5", "leftsemi")

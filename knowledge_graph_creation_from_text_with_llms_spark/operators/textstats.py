@@ -28,10 +28,14 @@ def _marker_score(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def language_best_expr(text_col: str) -> Column:
+def language_best_expr(text_col: str, toks: Column | None = None) -> Column:
     """struct(score, lang) of the winning language: argmax of marker
-    counts, ties broken by language code order (deterministic)."""
-    toks = tokens_expr(text_col)
+    counts, ties broken by language code order (deterministic).
+    `toks` (optional): precomputed token-array column — pass it when a
+    composed projection already stages the tokens so the regex
+    tokenization is not re-evaluated per consuming expression."""
+    if toks is None:
+        toks = tokens_expr(text_col)
     scores = F.array(
         *[
             F.struct(
@@ -54,8 +58,8 @@ def language_best_expr(text_col: str) -> Column:
     )
 
 
-def predicted_lang_expr(text_col: str) -> Column:
-    best = language_best_expr(text_col)
+def predicted_lang_expr(text_col: str, toks: Column | None = None) -> Column:
+    best = language_best_expr(text_col, toks)
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
@@ -74,12 +78,14 @@ def language_id(
     )
 
 
-def quality_exprs(text_col: str) -> dict[str, Column]:
+def quality_exprs(text_col: str, toks: Column | None = None) -> dict[str, Column]:
     """Named quality-signal expressions over one text column. Formula
     is arbitrary-but-fixed: the value is the *pipeline* (filter
-    pushdown on a computed column), not the scholarship."""
+    pushdown on a computed column), not the scholarship. `toks`: see
+    language_best_expr."""
     t = F.col(text_col)
-    toks = tokens_expr(text_col)
+    if toks is None:
+        toks = tokens_expr(text_col)
     n_chars = F.length(t)
     n_tokens = F.size(toks)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
@@ -167,13 +173,16 @@ def fingerprints(
     )
 
 
-def top_ngram_fraction_expr(text_col: str, n: int) -> Column:
+def top_ngram_fraction_expr(
+    text_col: str, n: int, toks: Column | None = None
+) -> Column:
     """Fraction of all word n-grams taken by the single most frequent
     one. Map-only: the n-gram mode is found by sorting the n-gram
     array and taking the longest equal-run with one aggregate — no
     per-(doc, gram) shuffle, so the plan is a projection at any
-    corpus size."""
-    toks = tokens_expr(text_col)
+    corpus size. `toks`: see language_best_expr."""
+    if toks is None:
+        toks = tokens_expr(text_col)
     grams = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
@@ -206,10 +215,19 @@ def repetition_stats(
     """Gopher-style repetition signals per document: the fraction of
     all word bigrams / trigrams taken by the single most frequent one
     (boilerplate and degenerate generations score high)."""
+    # stage the token array once: both fraction expressions read the
+    # same column instead of re-running the regex tokenization (and the
+    # array stays in one task-local projection — no shuffle appears)
     return docs.select(
+        F.col(id_col), tokens_expr(text_col).alias("_toks")
+    ).select(
         F.col(id_col),
-        top_ngram_fraction_expr(text_col, 2).alias("top_bigram_fraction"),
-        top_ngram_fraction_expr(text_col, 3).alias("top_trigram_fraction"),
+        top_ngram_fraction_expr(text_col, 2, F.col("_toks")).alias(
+            "top_bigram_fraction"
+        ),
+        top_ngram_fraction_expr(text_col, 3, F.col("_toks")).alias(
+            "top_trigram_fraction"
+        ),
     )
 
 
@@ -229,9 +247,11 @@ def corpus_filter(
     a map over the scan, and `keep` pushes down like any computed
     column). Emits the decision plus the ordered reasons so dropped
     volumes are auditable per rule, never silent."""
-    q = quality_exprs(text_col)
-    lang = predicted_lang_expr(text_col)
-    top2 = top_ngram_fraction_expr(text_col, 2)
+    staged = docs.select("*", tokens_expr(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    q = quality_exprs(text_col, toks)
+    lang = predicted_lang_expr(text_col, toks)
+    top2 = top_ngram_fraction_expr(text_col, 2, toks)
     reasons = F.array_compact(
         F.array(
             F.when(~lang.isin(*allowed_langs), F.lit("lang")),
@@ -240,7 +260,7 @@ def corpus_filter(
             F.when(top2 > max_top_bigram, F.lit("repetitive")),
         )
     )
-    return docs.select(
+    return staged.select(
         F.col(id_col),
         lang.alias("predicted_lang"),
         q["n_tokens"].cast("long").alias("n_tokens"),
