@@ -2083,7 +2083,11 @@ def kg_metrics_bertscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_text", F.concat_ws(" ", "subj", "pred", "obj")
         )
     )
-    out = metrics.bertscore_pairs(pairs, "cand_text", "ref_text")
+    # ~45 triples share each document's ref_text → the shared-ref
+    # cosine dedup pays for its (small) shuffles here
+    out = metrics.bertscore_pairs(
+        pairs, "cand_text", "ref_text", dedup_shared_refs=True
+    )
     return out.select(
         "doc_id", "subj", "pred", "obj", "bs_precision", "bs_recall", "bs_f1"
     )

@@ -402,6 +402,7 @@ def bertscore_pairs(
     cand_col: str,
     ref_col: str,
     dim: int = 16,
+    dedup_shared_refs: bool = False,
 ) -> DataFrame:
     """BERTScore-style token-level greedy matching per (candidate,
     reference) text pair — the semantics of
@@ -424,17 +425,30 @@ def bertscore_pairs(
     from ..functions.embeddings import token_embedding_expr
     from ..functions.text import tokens_expr
 
-    # NOTE (r06): a cosine-matrix rewrite (norms hoisted per token,
-    # matrix built once, P/R from row/column maxima) was bit-exact but
-    # measured SLOWER in a same-session A/B at sf1.0 (30.4 s vs 17-21 s
-    # for this form): with 3-token candidate strings the interpreter
-    # overhead of materializing array<array<double>> and element_at
-    # indexing outweighs the saved arithmetic. Kept as-was.
-    def embs(col: str) -> "F.Column":
-        return F.transform(
-            tokens_expr(col), lambda t: token_embedding_expr(t, dim)
-        )
-
+    # Two physical forms, identical results (bit-exact):
+    #
+    # Default (dedup_shared_refs=False): the original shuffle-free
+    # projection — both directions scored per pair with nested HOFs.
+    # No exchange anywhere, so it composes into any map-only pipeline
+    # and has no skew surface; per-pair cost is O(|ce|·|re|·dim) even
+    # when many pairs share one reference.
+    #
+    # dedup_shared_refs=True (r06): token embeddings are deterministic
+    # functions of the token text, so cos(cand token t, ref token o)
+    # depends only on (t, ref text). When many candidates share one
+    # reference (the gate: ~45 triples per document), compute the
+    # cosine ROW of each DISTINCT (ref value, cand token) once, fold
+    # rows into a per-ref token→row map, and re-assemble each pair's
+    # score from lookups — P is the ordered mean of per-token row
+    # maxima, R the ordered mean over ref positions of column maxima
+    # (cos(o, e) of the old R direction equals cos(e, o) by
+    # float-multiply commutativity; sums keep token order; maxima are
+    # order-free; NULL/empty guards reproduce the old nesting). Costs
+    # two small (ref, token)-bounded shuffles and a ref-keyed join the
+    # planner broadcasts when the distinct-ref side is small — measured
+    # 17.7 s -> 12.0 s on the gate's 45k-pair workload at sf1.0.
+    # (A per-pair cosine-matrix variant was measured SLOWER: 30 s vs
+    # 17-21 s — interpreter structure overhead beats saved arithmetic.)
     def cos(a, b):
         dot = F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
@@ -444,22 +458,101 @@ def bertscore_pairs(
         )
         return dot / (n(a) * n(b))
 
-    def side_score(from_embs, to_embs):
-        best = F.transform(
-            from_embs,
-            lambda e: F.array_max(F.transform(to_embs, lambda o: cos(e, o))),
-        )
-        total = F.aggregate(best, F.lit(0.0), lambda s, x: s + x)
-        return F.when(F.size(from_embs) > 0, total / F.size(from_embs)).otherwise(
-            F.lit(0.0)
-        )
+    if not dedup_shared_refs:
+        def embs(col: str) -> "F.Column":
+            return F.transform(
+                tokens_expr(col), lambda t: token_embedding_expr(t, dim)
+            )
 
-    ce, re_ = F.col("_ce"), F.col("_re")
-    staged = pairs.withColumn("_ce", embs(cand_col)).withColumn(
-        "_re", embs(ref_col)
+        def side_score(from_embs, to_embs):
+            best = F.transform(
+                from_embs,
+                lambda e: F.array_max(
+                    F.transform(to_embs, lambda o: cos(e, o))
+                ),
+            )
+            total = F.aggregate(best, F.lit(0.0), lambda s, x: s + x)
+            return F.when(
+                F.size(from_embs) > 0, total / F.size(from_embs)
+            ).otherwise(F.lit(0.0))
+
+        ce, re_ = F.col("_ce"), F.col("_re")
+        staged = pairs.withColumn("_ce", embs(cand_col)).withColumn(
+            "_re", embs(ref_col)
+        )
+        p = F.when(F.size(re_) > 0, side_score(ce, re_)).otherwise(F.lit(0.0))
+        r = F.when(F.size(ce) > 0, side_score(re_, ce)).otherwise(F.lit(0.0))
+        out = staged.withColumn("bs_precision", p).withColumn("bs_recall", r)
+        f1 = F.when(
+            (F.col("bs_precision") + F.col("bs_recall")) > 0,
+            2
+            * F.col("bs_precision")
+            * F.col("bs_recall")
+            / (F.col("bs_precision") + F.col("bs_recall")),
+        ).otherwise(F.lit(0.0))
+        return out.withColumn("bs_f1", f1).drop("_ce", "_re")
+
+    refs = (
+        pairs.select(F.col(ref_col).alias("_ref"))
+        .distinct()
+        .withColumn(
+            "_re",
+            F.transform(
+                tokens_expr("_ref"), lambda t: token_embedding_expr(t, dim)
+            ),
+        )
     )
-    p = F.when(F.size(re_) > 0, side_score(ce, re_)).otherwise(F.lit(0.0))
-    r = F.when(F.size(ce) > 0, side_score(re_, ce)).otherwise(F.lit(0.0))
+    ct = pairs.select(
+        F.col(ref_col).alias("_ref"),
+        F.explode(F.array_distinct(tokens_expr(cand_col))).alias("_t"),
+    ).distinct()
+    rows = ct.join(refs, "_ref").select(
+        "_ref",
+        "_t",
+        F.transform(
+            F.col("_re"),
+            lambda o: cos(token_embedding_expr(F.col("_t"), dim), o),
+        ).alias("_row"),
+    )
+    maps = rows.groupBy("_ref").agg(
+        F.map_from_entries(F.collect_list(F.struct("_t", "_row"))).alias("_map")
+    )
+    refn = refs.select("_ref", F.size("_re").alias("_nref"))
+    # plain equi-joins (no forced hint): the map/size tables aggregate
+    # to |distinct refs| rows, so AQE broadcasts them when small and
+    # falls back to a shuffle when a caller's ref side is huge
+    staged = (
+        pairs.join(maps, F.col(ref_col) == maps["_ref"], "left")
+        .drop("_ref")
+        .join(refn, F.col(ref_col) == refn["_ref"], "left")
+        .drop("_ref")
+    )
+    ce_toks = tokens_expr(cand_col)
+    rows_arr = F.transform(ce_toks, lambda t: F.element_at(F.col("_map"), t))
+    p_total = F.aggregate(
+        F.transform(rows_arr, F.array_max), F.lit(0.0), lambda s, x: s + x
+    )
+    nref = F.col("_nref")
+    p = F.when(
+        nref > 0,
+        F.when(F.size(ce_toks) > 0, p_total / F.size(ce_toks)).otherwise(
+            F.lit(0.0)
+        ),
+    ).otherwise(F.lit(0.0))
+    r_total = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), nref),
+            lambda j: F.array_max(
+                F.transform(rows_arr, lambda row: F.element_at(row, j))
+            ),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    r = F.when(
+        F.size(ce_toks) > 0,
+        F.when(nref > 0, r_total / nref).otherwise(F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
     out = staged.withColumn("bs_precision", p).withColumn("bs_recall", r)
     f1 = F.when(
         (F.col("bs_precision") + F.col("bs_recall")) > 0,
@@ -468,7 +561,7 @@ def bertscore_pairs(
         * F.col("bs_recall")
         / (F.col("bs_precision") + F.col("bs_recall")),
     ).otherwise(F.lit(0.0))
-    return out.withColumn("bs_f1", f1).drop("_ce", "_re")
+    return out.withColumn("bs_f1", f1).drop("_map", "_nref")
 
 
 def _scalar_prf(tp: int, fp: int, fn: int) -> tuple[float, float, float]:

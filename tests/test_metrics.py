@@ -220,6 +220,39 @@ def test_bertscore_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_bertscore_shared_ref_dedup_is_bit_identical(spark):
+    """The dedup_shared_refs=True form (cosine rows computed once per
+    distinct (ref, cand token), reassembled per pair through a map)
+    must equal the shuffle-free default bitwise on every row, including
+    the NULL/empty-text edge cases and duplicate candidate tokens."""
+    df = spark.createDataFrame(
+        [
+            ("the cat sat", "the cat sat"),
+            ("the cat", "the cat sat on mat"),
+            ("cat cat dog", "the cat sat on mat"),  # duplicate cand token
+            ("other words", "the cat sat on mat"),  # shared ref
+            ("", "something"),
+            ("word", ""),
+            (None, "something"),
+            ("word", None),
+        ],
+        "cand string, ref string",
+    )
+    base = {
+        (r.cand, r.ref): (r.bs_precision, r.bs_recall, r.bs_f1)
+        for r in metrics.bertscore_pairs(df, "cand", "ref").collect()
+    }
+    fast = {
+        (r.cand, r.ref): (r.bs_precision, r.bs_recall, r.bs_f1)
+        for r in metrics.bertscore_pairs(
+            df, "cand", "ref", dedup_shared_refs=True
+        ).collect()
+    }
+    assert set(base) == set(fast)
+    for k in base:
+        assert base[k] == fast[k], k  # bit-identical, no tolerance
+
+
 def test_rouge_l_best_native_matches_udf_scorer(spark):
     """The native LCS fold (rouge_l_best) must agree with the pandas-UDF
     pair scorer (rouge_best_match, stemmer off) on every pair — and with
