@@ -93,26 +93,43 @@ def _triples_raw(docs: DataFrame) -> DataFrame:
     )
 
 
-def _linked_triples(docs: DataFrame) -> DataFrame:
-    """triples_raw with subj/obj linked through the derived dictionary
-    (the real linker operator: distinct-labels broadcast join)."""
-    ed = _entity_dict(docs)
-    tr = _triples_raw(docs)
-    out = linker.link_labels(tr, ed, "subj", "subj_id")
-    out = linker.link_labels(out, ed, "obj", "obj_id")
-    return out.withColumn("is_literal", F.col("obj_id").isNull())
-
-
 def _edges(docs: DataFrame) -> DataFrame:
-    linked = _linked_triples(docs).select(
+    """Linked, weight-aggregated edge table (the shared graph-family
+    prefix). Two structural properties keep it at one corpus-scale
+    exchange:
+
+    - The ranked dictionary is resolved ONCE and localCheckpoint'ed
+      (vocabulary-scale: tokens with df >= DICT_MIN_DF): without it
+      the subj and obj links each inline the full dictionary pipeline
+      — scan + tokenize + mentions groupBy + rank window — so every
+      graph-family gate paid that corpus scan twice (kg_edges before:
+      3 document scans; after: 2).
+    - Edge weight = Σ_docs count(doc, subj, obj) = the plain global
+      occurrence count, so the per-doc triples groupBy is algebraically
+      redundant here: bigram occurrences are linked map-side (broadcast)
+      and aggregated directly by (src, pred, dst, is_literal) — ONE
+      exchange instead of two, and the shuffle rows carry no doc_id
+      (kg_edges before: Exchange(doc,subj,obj) + Exchange(src,...);
+      after: Exchange(src,...) only, with map-side partial counts
+      collapsing cross-doc duplicates). The dictionary itself is
+      derived from (doc, token)-distinct mentions, NOT from this
+      stream, so DICT_MIN_DF semantics are untouched; per-doc triples
+      remain available to gates that declare them (kg_triples_raw)."""
+    ed = _entity_dict(docs)
+    resolved = linker.resolve_labels(ed).localCheckpoint(eager=True)
+    pairs = docs.select(F.explode(bigrams_expr("text")).alias("bg")).select(
+        F.col("bg.subj").alias("subj"), F.col("bg.obj").alias("obj")
+    )
+    out = linker.link_labels(pairs, ed, "subj", "subj_id", resolved=resolved)
+    out = linker.link_labels(out, ed, "obj", "obj_id", resolved=resolved)
+    linked = out.select(
         F.coalesce("subj_id", "subj").alias("src_id"),
         F.lit("precedes").alias("pred_id"),
         F.coalesce("obj_id", "obj").alias("dst_id"),
-        "is_literal",
-        "weight",
+        F.col("obj_id").isNull().alias("is_literal"),
     )
     deduped = linked.groupBy("src_id", "pred_id", "dst_id", "is_literal").agg(
-        F.sum("weight").cast("long").alias("weight")
+        F.count(F.lit(1)).cast("long").alias("weight")
     )
     return deduped.select(
         "src_id",

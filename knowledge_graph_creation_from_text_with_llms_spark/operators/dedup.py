@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_expr, word_shingles_expr
+from ..functions.text import bind_once, tokens_expr, word_shingles_expr
 
 
 def exact_duplicates(
@@ -254,15 +254,19 @@ def _minhash_candidates(
             .groupBy("band_id", "band_key")
             .agg(F.collect_list(id_col).alias("_ids"))
         )
-        ids = F.array_sort("_ids")
-        pair_arr = F.flatten(
-            F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + F.lit(2), F.size(ids)),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
+        # bind the sorted array once: captured inside the pair lambdas
+        # it would re-sort the bucket per emitted pair element
+        pair_arr = bind_once(
+            F.array_sort("_ids"),
+            lambda ids: F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + F.lit(2), F.size(ids)),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            ),
         )
         cand = (
             buckets.select(F.explode(pair_arr).alias("_p"))
@@ -1127,19 +1131,22 @@ def _minhash_incr_candidates(
             .groupBy("band_id", "band_key")
             .agg(F.collect_list(F.struct("_id", "_new")).alias("_members"))
         )
-        members = F.array_sort("_members")  # struct sort: by _id, then _new
-        pair_arr = F.flatten(
-            F.transform(
-                members,
-                lambda x, i: F.transform(
-                    F.slice(members, i + F.lit(2), F.size(members)),
-                    lambda y: F.struct(
-                        x.getField("_id").alias("id_a"),
-                        y.getField("_id").alias("id_b"),
-                        (x.getField("_new") | y.getField("_new")).alias("touches_new"),
+        # struct sort: by _id, then _new; bound once (see batch twin)
+        pair_arr = bind_once(
+            F.array_sort("_members"),
+            lambda members: F.flatten(
+                F.transform(
+                    members,
+                    lambda x, i: F.transform(
+                        F.slice(members, i + F.lit(2), F.size(members)),
+                        lambda y: F.struct(
+                            x.getField("_id").alias("id_a"),
+                            y.getField("_id").alias("id_b"),
+                            (x.getField("_new") | y.getField("_new")).alias("touches_new"),
+                        ),
                     ),
-                ),
-            )
+                )
+            ),
         )
         cand = (
             buckets.select(F.explode(pair_arr).alias("_p"))

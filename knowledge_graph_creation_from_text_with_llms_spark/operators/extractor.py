@@ -170,27 +170,37 @@ def response_expr(text: Column | str) -> Column:
     tokens = [a-z0-9]+ runs of lower(text); line i (1-based) is
     "i. (toks[i-1], precedes, toks[i])"; lines joined with \\n.
     """
+    from ..functions.text import bind_once
+
     t = F.col(text) if isinstance(text, str) else text
-    toks = F.regexp_extract_all(
-        F.lower(F.coalesce(t, F.lit(""))), F.lit("[a-z0-9]+"), 0
-    )
-    n = F.size(toks)
-    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard n < 2
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    lines = F.transform(
-        idx,
-        lambda i: F.concat(
-            i.cast("string"),
-            F.lit(". ("),
-            F.element_at(toks, i),
-            F.lit(", precedes, "),
-            F.element_at(toks, i + 1),
-            F.lit(")"),
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        # sequence(1, 0) would generate a DESCENDING [1, 0] — guard n < 2
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        lines = F.transform(
+            idx,
+            lambda i: F.concat(
+                i.cast("string"),
+                F.lit(". ("),
+                F.element_at(toks, i),
+                F.lit(", precedes, "),
+                F.element_at(toks, i + 1),
+                F.lit(")"),
+            ),
+        )
+        return F.array_join(lines, "\n")
+
+    # token array bound once — captured inside the line lambda it
+    # would re-run the tokenize regex per emitted line
+    return bind_once(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(t, F.lit(""))), F.lit("[a-z0-9]+"), 0
         ),
+        build,
     )
-    return F.array_join(lines, "\n")
 
 
 def extract_responses_expr(

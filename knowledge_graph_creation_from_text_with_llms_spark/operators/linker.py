@@ -59,12 +59,37 @@ def best_match_per_label(
     )
 
 
+def resolve_labels(dictionary: DataFrame, id_col: str = "entity_id") -> DataFrame:
+    """(_k, id_col): the best dictionary candidate per normalized alias
+    key — min by (rank, id) among rows sharing lower(trim(alias)).
+    Factored out of link_labels so callers that link SEVERAL label
+    columns against the SAME dictionary (subj+obj in link_triples /
+    gate._linked_triples) can compute — and localCheckpoint — the
+    ranked table once instead of re-running the dictionary pipeline
+    per linked column (the dictionary is often derived from a corpus
+    scan, so each re-evaluation repeats that scan)."""
+    w = Window.partitionBy("_k").orderBy(
+        F.col("_rank").asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
+    return (
+        dictionary.select(
+            F.lower(F.trim(F.col("alias"))).alias("_k"),
+            F.col("rank").alias("_rank"),
+            F.col(id_col),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_k", id_col)
+    )
+
+
 def link_labels(
     facts: DataFrame,
     dictionary: DataFrame,
     label_col: str,
     out_col: str,
     id_col: str = "entity_id",
+    resolved: DataFrame | None = None,
 ) -> DataFrame:
     """Attach out_col = linked id (or NULL) to every fact row.
 
@@ -77,22 +102,14 @@ def link_labels(
     distinct, once as the join probe), which compounded per linked
     column. Lookup-once-per-label cache semantics (Matcher.py:55-56)
     are preserved: every fact row with the same label gets the same id.
+
+    `resolved` (from resolve_labels, possibly checkpointed) skips the
+    ranking so multi-column callers pay the dictionary pipeline once.
     """
-    w = Window.partitionBy("_k").orderBy(
-        F.col("_rank").asc_nulls_last(), F.col(id_col).asc_nulls_last()
-    )
-    resolved = (
-        dictionary.select(
-            F.lower(F.trim(F.col("alias"))).alias("_k"),
-            F.col("rank").alias("_rank"),
-            F.col(id_col),
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("_k", F.col(id_col).alias(out_col))
-    )
+    if resolved is None:
+        resolved = resolve_labels(dictionary, id_col=id_col)
     return facts.join(
-        F.broadcast(resolved),
+        F.broadcast(resolved.select("_k", F.col(id_col).alias(out_col))),
         F.lower(F.trim(F.col(label_col))) == F.col("_k"),
         "left",
     ).drop("_k")

@@ -15,10 +15,10 @@ Reproduces the reference's two evaluators as DataFrame joins:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize_text_expr
+from ..functions.text import bind_once, normalize_text_expr
 
 _COLS = ("subj", "pred", "obj")
 
@@ -506,12 +506,14 @@ def bertscore_pairs(
         F.col(ref_col).alias("_ref"),
         F.explode(F.array_distinct(tokens_expr(cand_col))).alias("_t"),
     ).distinct()
+    # the candidate-token embedding is bound once: captured inside the
+    # per-ref-token lambda it would be rebuilt |ref tokens| times
     rows = ct.join(refs, "_ref").select(
         "_ref",
         "_t",
-        F.transform(
-            F.col("_re"),
-            lambda o: cos(token_embedding_expr(F.col("_t"), dim), o),
+        bind_once(
+            token_embedding_expr(F.col("_t"), dim),
+            lambda e: F.transform(F.col("_re"), lambda o: cos(e, o)),
         ).alias("_row"),
     )
     maps = rows.groupBy("_ref").agg(
@@ -527,33 +529,53 @@ def bertscore_pairs(
         .join(refn, F.col(ref_col) == refn["_ref"], "left")
         .drop("_ref")
     )
-    ce_toks = tokens_expr(cand_col)
-    rows_arr = F.transform(ce_toks, lambda t: F.element_at(F.col("_map"), t))
-    p_total = F.aggregate(
-        F.transform(rows_arr, F.array_max), F.lit(0.0), lambda s, x: s + x
-    )
     nref = F.col("_nref")
-    p = F.when(
-        nref > 0,
-        F.when(F.size(ce_toks) > 0, p_total / F.size(ce_toks)).otherwise(
-            F.lit(0.0)
-        ),
-    ).otherwise(F.lit(0.0))
-    r_total = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), nref),
-            lambda j: F.array_max(
-                F.transform(rows_arr, lambda row: F.element_at(row, j))
+
+    # bind the candidate token array AND the looked-up row array once:
+    # rows_arr captured inside r_total's per-ref-position lambda was
+    # rebuilt (|ce| map lookups) nref times per pair, and ce_toks
+    # re-tokenized per reference. Same expressions over the bound
+    # variables — bit-identical values (the equality test over
+    # NULL/empty/duplicate-token fixtures pins this).
+    def _pr(ct_: Column, ra: Column) -> Column:
+        p_total = F.aggregate(
+            F.transform(ra, F.array_max), F.lit(0.0), lambda s, x: s + x
+        )
+        p = F.when(
+            nref > 0,
+            F.when(F.size(ct_) > 0, p_total / F.size(ct_)).otherwise(
+                F.lit(0.0)
             ),
+        ).otherwise(F.lit(0.0))
+        r_total = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), nref),
+                lambda j: F.array_max(
+                    F.transform(ra, lambda row: F.element_at(row, j))
+                ),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        r = F.when(
+            F.size(ct_) > 0,
+            F.when(nref > 0, r_total / nref).otherwise(F.lit(0.0)),
+        ).otherwise(F.lit(0.0))
+        return F.struct(p.alias("p"), r.alias("r"))
+
+    pr = bind_once(
+        tokens_expr(cand_col),
+        lambda ct_: bind_once(
+            F.transform(ct_, lambda t: F.element_at(F.col("_map"), t)),
+            lambda ra: _pr(ct_, ra),
         ),
-        F.lit(0.0),
-        lambda s, x: s + x,
     )
-    r = F.when(
-        F.size(ce_toks) > 0,
-        F.when(nref > 0, r_total / nref).otherwise(F.lit(0.0)),
-    ).otherwise(F.lit(0.0))
-    out = staged.withColumn("bs_precision", p).withColumn("bs_recall", r)
+    out = (
+        staged.withColumn("_pr", pr)
+        .withColumn("bs_precision", F.col("_pr").getField("p"))
+        .withColumn("bs_recall", F.col("_pr").getField("r"))
+        .drop("_pr")
+    )
     f1 = F.when(
         (F.col("bs_precision") + F.col("bs_recall")) > 0,
         2

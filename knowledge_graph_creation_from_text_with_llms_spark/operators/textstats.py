@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import char_shingles_expr, tokens_expr
+from ..functions.text import bind_once, char_shingles_expr, tokens_expr
 
 # tiny per-language function-word lists for the n-gram/stopword
 # heuristic language identifier (deterministic, dependency-free)
@@ -181,32 +181,43 @@ def top_ngram_fraction_expr(
     array and taking the longest equal-run with one aggregate — no
     per-(doc, gram) shuffle, so the plan is a projection at any
     corpus size. `toks`: see language_best_expr."""
+    def _frac(toks: Column) -> Column:
+        grams = F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+
+        def _of(g: Column) -> Column:
+            best = F.aggregate(
+                F.array_sort(g),
+                F.struct(
+                    F.lit("").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("best"),
+                ),
+                lambda acc, x: F.struct(
+                    x.alias("prev"),
+                    F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1))
+                    .alias("run"),
+                    F.greatest(
+                        acc["best"],
+                        F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                            F.lit(1)
+                        ),
+                    ).alias("best"),
+                ),
+            )["best"]
+            return best.cast("double") / F.greatest(F.size(g), F.lit(1))
+
+        # the gram array feeds both the run-length fold and the size
+        # denominator — bound once so it is built once per row
+        return bind_once(grams, _of)
+
     if toks is None:
-        toks = tokens_expr(text_col)
-    grams = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    s = F.array_sort(grams)
-    best = F.aggregate(
-        s,
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1))
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-    )["best"]
-    return best.cast("double") / F.greatest(F.size(grams), F.lit(1))
+        # unbound, the captured token expr would re-tokenize per gram
+        return bind_once(tokens_expr(text_col), _frac)
+    return _frac(toks)
 
 
 def repetition_stats(
