@@ -120,6 +120,27 @@ def test_relaxed_all_empty_gt_row(spark):
     assert (m2.tp, m2.fn) == (0, 1)
 
 
+def test_relaxed_subset_key_shared_constant(spark):
+    """Focused pin for the subset-key semi-join rewrite: a constant
+    predicate shared by every tuple (the hot join key the old
+    per-value form fanned out on), duplicate values within one tuple
+    (subj == obj collapses to one member/one key element), and a GT
+    row needing all three members of a single tuple."""
+    gen = _df(spark, [
+        ("x", "precedes", "y"),
+        ("y", "precedes", "y"),   # duplicate member inside the tuple
+        ("z", "precedes", "w"),
+    ])
+    gt = _df(spark, [
+        ("y", "precedes", "x"),   # swapped: membership must find it
+        ("y", "precedes", "y"),   # needs only {y, precedes}
+        ("precedes", "", ""),     # single-member subset
+        ("x", "precedes", "w"),   # members split across tuples: NO match
+    ])
+    m = metrics.relaxed_metrics(gen, gt).collect()[0]
+    assert (m.tp, m.fn, m.fp) == (3, 1, 0)
+
+
 def test_porter_stem_canonical():
     from knowledge_graph_creation_from_text_with_llms_spark.functions.stemmer import (
         porter_stem,
