@@ -27,9 +27,19 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import tokens_expr
+from .text import bind_once, tokens_expr
 
 DEFAULT_DIM = 16
+
+
+def _byte_component(h: Column, d: int) -> Column:
+    """Component d from a precomputed md5 hex digest: byte d scaled to
+    [-1, 1]."""
+    return (
+        F.conv(F.substring(h, 2 * d + 1, 2), 16, 10).cast("double")
+        / F.lit(127.5)
+        - F.lit(1.0)
+    )
 
 
 def hash_embedding_expr(col: str | Column, dim: int = DEFAULT_DIM) -> Column:
@@ -40,29 +50,30 @@ def hash_embedding_expr(col: str | Column, dim: int = DEFAULT_DIM) -> Column:
       list_sum(list_transform(toks,
         t -> ('0x' || substr(md5(t), 2d+1, 2))::INT / 127.5e0 - 1e0))
       / len(toks)
+
+    The per-token md5 digests are computed ONCE into a bound array and
+    every component reads its byte from them — the per-component form
+    re-ran tokenize × dim and md5 × (tokens · dim) per row (HOFs get
+    no cross-expression CSE). Same digests, same bytes, same addition
+    order — bit-identical.
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens_expr(c)
 
-    def _component(d: int):
-        # NB: must be a 1-arg lambda — pyspark's transform() treats a
-        # 2-arg callable as (element, index) and would shadow `d`
-        def f(t):
-            return (
-                F.conv(F.substring(F.md5(t), 2 * d + 1, 2), 16, 10)
-                .cast("double")
-                / F.lit(127.5)
-                - F.lit(1.0)
+    def from_digests(hs: Column) -> Column:
+        comps = [
+            F.aggregate(
+                F.transform(hs, lambda h: _byte_component(h, d)),
+                F.lit(0.0),
+                lambda a, x: a + x,
             )
+            / F.size(hs)
+            for d in range(dim)
+        ]
+        return F.when(F.size(hs) > 0, F.array(*comps))
 
-        return f
-
-    comps = [
-        F.aggregate(F.transform(toks, _component(d)), F.lit(0.0), lambda a, x: a + x)
-        / F.size(toks)
-        for d in range(dim)
-    ]
-    return F.when(F.size(toks) > 0, F.array(*comps))
+    return bind_once(
+        F.transform(tokens_expr(c), lambda t: F.md5(t)), from_digests
+    )
 
 
 def token_embedding_expr(token: Column, dim: int = DEFAULT_DIM) -> Column:
@@ -70,15 +81,11 @@ def token_embedding_expr(token: Column, dim: int = DEFAULT_DIM) -> Column:
     d = md5 byte d scaled to [-1, 1]. The per-token building block of
     hash_embedding_expr, used where token-level similarity matters
     (BERTScore greedy matching). Never the zero vector, so cosine is
-    always defined."""
-    return F.array(
-        *[
-            F.conv(F.substring(F.md5(token), 2 * d + 1, 2), 16, 10)
-            .cast("double")
-            / F.lit(127.5)
-            - F.lit(1.0)
-            for d in range(dim)
-        ]
+    always defined. The digest is bound once, not hashed per
+    component."""
+    return bind_once(
+        F.md5(token),
+        lambda h: F.array(*[_byte_component(h, d) for d in range(dim)]),
     )
 
 

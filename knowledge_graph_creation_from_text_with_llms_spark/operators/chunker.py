@@ -152,43 +152,59 @@ def sentences_expr(col: Column | str) -> Column:
     Split parts and the matched separator runs are extracted side by
     side, then a linear `aggregate` fold re-joins parts across
     no-break boundaries using the ORIGINAL separator bytes — so merged
-    sentences are byte-identical to the Python splitter's slices."""
+    sentences are byte-identical to the Python splitter's slices.
+
+    The split parts / separator arrays are bound once (bind_once):
+    captured inside the fold lambda they would re-run both full-text
+    regex extractions once per sentence boundary per row."""
+    from ..functions.text import bind_once
+
     text = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
-    parts = F.split(text, _J_SENT_BREAK)
-    seps = F.regexp_extract_all(text, F.lit(_J_SENT_SEP), 1)
-    n = F.size(seps)
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    acc0 = F.struct(
-        F.array().cast("array<string>").alias("sents"),
-        F.element_at(parts, 1).alias("cur"),
-    )
 
-    def step(acc: Column, i: Column) -> Column:
-        part = F.element_at(parts, i + 1)
-        prev = F.regexp_extract(acc["cur"], _J_LAST_TOKEN, 1)
-        merged = F.struct(
-            acc["sents"].alias("sents"),
-            F.concat(acc["cur"], F.element_at(seps, i), part).alias("cur"),
+    def build(ps: Column) -> Column:
+        parts = ps.getField("parts")
+        seps = ps.getField("seps")
+        n = F.size(seps)
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
         )
-        flushed = F.struct(
-            F.when(
-                acc["cur"] != "", F.array_append(acc["sents"], acc["cur"])
+        acc0 = F.struct(
+            F.array().cast("array<string>").alias("sents"),
+            F.element_at(parts, 1).alias("cur"),
+        )
+
+        def step(acc: Column, i: Column) -> Column:
+            part = F.element_at(parts, i + 1)
+            prev = F.regexp_extract(acc["cur"], _J_LAST_TOKEN, 1)
+            merged = F.struct(
+                acc["sents"].alias("sents"),
+                F.concat(acc["cur"], F.element_at(seps, i), part).alias("cur"),
             )
-            .otherwise(acc["sents"])
-            .alias("sents"),
-            part.alias("cur"),
-        )
-        return F.when(_no_break_expr(prev), merged).otherwise(flushed)
+            flushed = F.struct(
+                F.when(
+                    acc["cur"] != "", F.array_append(acc["sents"], acc["cur"])
+                )
+                .otherwise(acc["sents"])
+                .alias("sents"),
+                part.alias("cur"),
+            )
+            return F.when(_no_break_expr(prev), merged).otherwise(flushed)
 
-    return F.aggregate(
-        idx,
-        acc0,
-        step,
-        lambda acc: F.when(
-            acc["cur"] != "", F.array_append(acc["sents"], acc["cur"])
-        ).otherwise(acc["sents"]),
+        return F.aggregate(
+            idx,
+            acc0,
+            step,
+            lambda acc: F.when(
+                acc["cur"] != "", F.array_append(acc["sents"], acc["cur"])
+            ).otherwise(acc["sents"]),
+        )
+
+    return bind_once(
+        F.struct(
+            F.split(text, _J_SENT_BREAK).alias("parts"),
+            F.regexp_extract_all(text, F.lit(_J_SENT_SEP), 1).alias("seps"),
+        ),
+        build,
     )
 
 

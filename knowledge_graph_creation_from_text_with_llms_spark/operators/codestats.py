@@ -136,9 +136,33 @@ def code_line_stats(
 ) -> DataFrame:
     """Per-file line metrics for corpus filtering: line counts, blank
     and comment-line fractions, average/max line length, duplicate-
-    line fraction. One projection, no shuffle."""
-    lines = F.split(F.col(content_col), r"\n")
-    trimmed = F.transform(lines, lambda l: F.trim(l))
+    line fraction. Map-only, no shuffle.
+
+    The split / trimmed / nonblank arrays each feed several output
+    columns, and HOF expressions get no cross-expression CSE — so they
+    are STAGED through projections (the multiply-referenced expensive
+    aliases survive CollapseProject) and every metric reads the
+    attribute: the content is split once per row, not once per
+    referencing metric."""
+    staged = df.select(
+        *id_cols,
+        F.col(lang_col),
+        F.split(F.col(content_col), r"\n").alias("_lines"),
+    ).select(
+        *id_cols,
+        F.col(lang_col),
+        F.col("_lines"),
+        F.transform(F.col("_lines"), lambda l: F.trim(l)).alias("_trimmed"),
+    ).select(
+        *id_cols,
+        F.col(lang_col),
+        F.col("_lines"),
+        F.col("_trimmed"),
+        F.filter(F.col("_trimmed"), lambda l: l != "").alias("_nonblank"),
+    )
+    lines, trimmed, nonblank = (
+        F.col("_lines"), F.col("_trimmed"), F.col("_nonblank")
+    )
     n_lines = F.size(lines)
     blank = F.size(F.filter(trimmed, lambda l: l == ""))
     comment_start = F.when(
@@ -147,11 +171,10 @@ def code_line_stats(
     comment = F.size(
         F.filter(trimmed, lambda l: l.startswith(comment_start) & (l != ""))
     )
-    nonblank = F.filter(trimmed, lambda l: l != "")
     dup = F.size(nonblank) - F.size(F.array_distinct(nonblank))
     lens = F.transform(lines, lambda l: F.length(l))
     total_len = F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x)
-    return df.select(
+    return staged.select(
         *id_cols,
         n_lines.cast("long").alias("n_lines"),
         blank.cast("long").alias("n_blank_lines"),

@@ -156,20 +156,47 @@ def fingerprints(
     """Winnowing-style rolling-hash fingerprints: md5 of char k-grams,
     minimum per window of `window` consecutive positions; the distinct
     minima are the document's fingerprint set. Returns (id,
-    n_fingerprints, min_fingerprint) — a compact, joinable sketch."""
-    grams = docs.select(
+    n_fingerprints, min_fingerprint) — a compact, joinable sketch.
+
+    Entirely map-side: a document's windows never leave its row, so
+    the per-window minima fold over the bound digest array instead of
+    exploding one row per gram through two grouping exchanges (the
+    earlier posexplode → groupBy(id, win) → groupBy(id) shape shuffled
+    ~|text| rows per doc twice to compute a per-doc scalar pair).
+    array_min / array_distinct use the same binary string ordering and
+    equality as the min/count-distinct aggregates — values identical.
+    Docs with no grams (length < k, incl. NULL text) are absent from
+    the output, exactly as the inner grouping dropped them; the
+    eligibility predicate length(lower(text)) >= k is the cheap exact
+    equivalent (lowercasing can change character counts for some
+    Unicode, so it tests the lowered length the shingler uses)."""
+    eligible = docs.where(F.length(F.lower(F.col(text_col))) >= k)
+
+    def _of(hs: Column) -> Column:
+        n_win = F.floor((F.size(hs) - 1) / window).cast("int")
+        fps = F.transform(
+            F.sequence(F.lit(0), n_win),
+            lambda w: F.array_min(F.slice(hs, w * window + 1, window)),
+        )
+        return F.struct(
+            F.size(F.array_distinct(fps)).cast("long").alias("n"),
+            F.array_min(fps).alias("m"),
+        )
+
+    out = eligible.select(
         F.col(id_col),
-        F.posexplode(char_shingles_expr(text_col, k)).alias("pos", "gram"),
+        bind_once(
+            bind_once(
+                char_shingles_expr(text_col, k),
+                lambda gs: F.transform(gs, lambda g: F.md5(g)),
+            ),
+            _of,
+        ).alias("_fp"),
     )
-    hashed = grams.select(
+    return out.select(
         F.col(id_col),
-        (F.col("pos") / window).cast("int").alias("win"),
-        F.md5("gram").alias("h"),
-    )
-    per_win = hashed.groupBy(id_col, "win").agg(F.min("h").alias("fp"))
-    return per_win.groupBy(id_col).agg(
-        F.countDistinct("fp").alias("n_fingerprints"),
-        F.min("fp").alias("min_fingerprint"),
+        F.col("_fp").getField("n").alias("n_fingerprints"),
+        F.col("_fp").getField("m").alias("min_fingerprint"),
     )
 
 
